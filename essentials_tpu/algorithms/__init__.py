@@ -1,0 +1,10 @@
+"""Graph algorithms, each expressed as iterated operator compositions.
+
+Capability parity with reference include/gunrock/algorithms/ — bfs, sssp, pr,
+ppr, bc, color, kcore, mst, tc, hits, geo, spmv, spgemm — each exposing the
+reference's param/result/run() shape as a functional `run(graph, ...)`.
+"""
+
+from essentials_tpu.algorithms import bfs, sssp
+
+__all__ = ["bfs", "sssp"]

@@ -1,0 +1,96 @@
+"""Single-source shortest paths (delta-free frontier Bellman-Ford).
+
+Reference parity: gunrock::sssp (/root/reference/include/gunrock/algorithms/
+sssp.hxx:110-151): per iteration, active sources relax out-edges with
+atomicMin; the visited-iteration dedup filter (sssp.hxx:126-136) is
+unnecessary here (boolmap frontiers cannot hold duplicates). The atomicMin
+becomes a deterministic segment-MIN; predecessors break ties by smallest
+source id via a second segment pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from essentials_tpu.frontier import frontier_from_indices
+from essentials_tpu.framework.enactor import enact, default_converged, EnactResult
+from essentials_tpu.graph.graph import Graph
+from essentials_tpu.ops import advance, Combine
+
+
+class SsspState(NamedTuple):
+    distances: jax.Array      # float32[Vp], +inf where unreached
+    predecessors: jax.Array   # int32[Vp], -1 where none
+    frontier: jax.Array       # bool[Vp]
+
+
+class SsspResult(NamedTuple):
+    distances: jax.Array
+    predecessors: jax.Array
+    iterations: int
+    elapsed_ms: float
+
+
+def init(g: Graph, source) -> SsspState:
+    vp = g.n_vertices_padded
+    dist = jnp.full(vp, jnp.inf, jnp.float32).at[source].set(0.0)
+    pred = jnp.full(vp, -1, jnp.int32)
+    return SsspState(dist, pred, frontier_from_indices(g, jnp.asarray([source])))
+
+
+def step(g: Graph, state: SsspState, it) -> SsspState:
+    dist, pred, frontier = state
+
+    cand = advance(g, lambda s, d, e, w: dist[s] + w, frontier,
+                   combine=Combine.MIN, with_frontier=False)
+    improved = cand < dist
+    new_dist = jnp.where(improved, cand, dist)
+
+    # Deterministic predecessor: smallest source id achieving the new
+    # distance at an improved destination.
+    def pred_op(s, d, e, w):
+        achieves = (dist[s] + w) == new_dist[d]
+        return jnp.where(achieves, s, jnp.iinfo(jnp.int32).max)
+
+    cand_pred = advance(g, pred_op, frontier, combine=Combine.MIN,
+                        with_frontier=False)
+    new_pred = jnp.where(improved, cand_pred, pred)
+    return SsspState(new_dist, new_pred, improved & g.vertex_mask())
+
+
+def run(g: Graph, source: int, *, max_iterations: int | None = None,
+        warmup: bool = True) -> SsspResult:
+    max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
+    res: EnactResult = enact(step, default_converged, g, init(g, source),
+                             max_iterations=max_it, warmup=warmup)
+    st: SsspState = res.state
+    v = g.n_vertices
+    return SsspResult(st.distances[:v], st.predecessors[:v],
+                      res.iterations, res.elapsed_ms)
+
+
+def cpu_reference(csr, source: int) -> np.ndarray:
+    """Host Dijkstra (reference parity:
+    examples/algorithms/sssp/sssp_cpu.hxx — priority-queue Dijkstra)."""
+    import heapq
+    n = csr.n_rows
+    offsets = np.asarray(csr.row_offsets)
+    cols = np.asarray(csr.col_indices)
+    vals = np.asarray(csr.values, dtype=np.float64)
+    dist = np.full(n, np.inf)
+    dist[source] = 0.0
+    heap = [(0.0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        for e in range(offsets[u], offsets[u + 1]):
+            vtx, nd = cols[e], d + vals[e]
+            if nd < dist[vtx]:
+                dist[vtx] = nd
+                heapq.heappush(heap, (nd, vtx))
+    return dist.astype(np.float32)
