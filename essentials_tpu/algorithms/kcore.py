@@ -1,0 +1,93 @@
+"""k-core decomposition (iterative peeling).
+
+Reference parity: gunrock::kcore (/root/reference/include/gunrock/algorithms/
+kcore.hxx:148-199): for k = 1,2,...: repeatedly delete vertices with
+remaining degree < k (their core number is k-1... the reference assigns k to
+vertices removed *during* round k); converges when all vertices deleted.
+TPU-native: one while_loop over (k, inner peeling) flattened into a single
+step function — a vertex's core number is the largest k at which it survives
+the peeling of round k.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from essentials_tpu.framework.enactor import enact, EnactResult
+from essentials_tpu.graph.graph import Graph
+from essentials_tpu.ops import advance, Combine
+
+
+class KcoreState(NamedTuple):
+    core: jax.Array         # int32[Vp] assigned core numbers
+    degrees: jax.Array      # int32[Vp] remaining degree
+    alive: jax.Array        # bool[Vp]
+    k: jax.Array            # current peeling level
+
+
+class KcoreResult(NamedTuple):
+    core: jax.Array
+    iterations: int
+    elapsed_ms: float
+
+
+def init(g: Graph) -> KcoreState:
+    deg = jnp.where(g.vertex_mask(), g.out_degrees(), 0).astype(jnp.int32)
+    core = jnp.zeros(g.n_vertices_padded, jnp.int32)
+    return KcoreState(core, deg, g.vertex_mask(), jnp.asarray(1, jnp.int32))
+
+
+def step(g: Graph, state: KcoreState, it) -> KcoreState:
+    core, deg, alive, k = state
+    peel = alive & (deg < k)
+    # removed vertices get core number k-1
+    core = jnp.where(peel, k - 1, core)
+    alive = alive & ~peel
+    # subtract removed neighbors' contributions
+    removed_nbrs = advance(g, lambda s, d, e, w: 1, peel,
+                           combine=Combine.SUM, with_frontier=False)
+    deg = deg - removed_nbrs.astype(jnp.int32)
+    # if nothing peeled this sweep, advance k
+    any_peeled = jnp.any(peel)
+    k = jnp.where(any_peeled, k, k + 1)
+    return KcoreState(core, deg, alive, k)
+
+
+def converged(g: Graph, state: KcoreState, it) -> jax.Array:
+    return jnp.logical_not(jnp.any(state.alive))
+
+
+def run(g: Graph, *, max_iterations: int | None = None,
+        warmup: bool = True) -> KcoreResult:
+    max_it = max_iterations if max_iterations is not None else 4 * g.n_vertices + 8
+    res: EnactResult = enact(step, converged, g, init(g),
+                             max_iterations=max_it, warmup=warmup)
+    return KcoreResult(res.state.core[:g.n_vertices], res.iterations,
+                       res.elapsed_ms)
+
+
+def cpu_reference(csr) -> np.ndarray:
+    """Host peeling reference (matula-beck style)."""
+    n = csr.n_rows
+    off = np.asarray(csr.row_offsets)
+    cols = np.asarray(csr.col_indices)
+    deg = np.diff(off).astype(np.int64).copy()
+    alive = np.ones(n, bool)
+    core = np.zeros(n, np.int32)
+    k = 1
+    while alive.any():
+        while True:
+            peel = alive & (deg < k)
+            if not peel.any():
+                break
+            core[peel] = k - 1
+            alive &= ~peel
+            for u in np.nonzero(peel)[0]:
+                for e in range(off[u], off[u + 1]):
+                    deg[cols[e]] -= 1
+        k += 1
+    return core

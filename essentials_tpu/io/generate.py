@@ -14,6 +14,33 @@ from essentials_tpu import dtypes
 from essentials_tpu.formats.coo import Coo
 
 
+def _finalize(n, rows, cols, rng, undirected: bool, weighted: bool) -> Coo:
+    """Dedup/clean an edge sample; for undirected graphs, canonicalize to
+    u<v before mirroring so weights are exactly symmetric."""
+    keep = rows != cols
+    rows, cols = rows[keep], cols[keep]
+    if undirected:
+        lo = np.minimum(rows, cols)
+        hi = np.maximum(rows, cols)
+        keys = lo * n + hi
+        _, first = np.unique(keys, return_index=True)
+        lo, hi = lo[first], hi[first]
+        vals = (rng.random(lo.size, dtype=np.float32) * 63 + 1).astype(
+            dtypes.weight_dtype) if weighted else np.ones(lo.size, dtypes.weight_dtype)
+        rows = np.concatenate([lo, hi])
+        cols = np.concatenate([hi, lo])
+        vals = np.concatenate([vals, vals])
+        return Coo(n, n, rows.astype(dtypes.vertex_dtype),
+                   cols.astype(dtypes.vertex_dtype), vals)
+    keys = rows * n + cols
+    _, first = np.unique(keys, return_index=True)
+    rows, cols = rows[first], cols[first]
+    vals = (rng.random(rows.size, dtype=np.float32) * 63 + 1).astype(
+        dtypes.weight_dtype) if weighted else np.ones(rows.size, dtypes.weight_dtype)
+    return Coo(n, n, rows.astype(dtypes.vertex_dtype),
+               cols.astype(dtypes.vertex_dtype), vals)
+
+
 def rmat(scale: int, edge_factor: int = 16, *, a: float = 0.57, b: float = 0.19,
          c: float = 0.19, seed: int = 1, undirected: bool = True,
          weighted: bool = True) -> Coo:
@@ -36,12 +63,7 @@ def rmat(scale: int, edge_factor: int = 16, *, a: float = 0.57, b: float = 0.19,
     # Permute vertex ids to break the kron locality artifact.
     perm = rng.permutation(n)
     rows, cols = perm[rows], perm[cols]
-    if undirected:
-        rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
-    vals = (rng.random(rows.size, dtype=np.float32) * 63 + 1).astype(dtypes.weight_dtype) \
-        if weighted else np.ones(rows.size, dtype=dtypes.weight_dtype)
-    return Coo(n, n, rows.astype(dtypes.vertex_dtype),
-               cols.astype(dtypes.vertex_dtype), vals).deduplicated().without_self_loops()
+    return _finalize(n, rows, cols, rng, undirected, weighted)
 
 
 def uniform_random(n: int, avg_degree: int, *, seed: int = 1,
@@ -51,12 +73,7 @@ def uniform_random(n: int, avg_degree: int, *, seed: int = 1,
     m = n * avg_degree
     rows = rng.integers(0, n, m, dtype=np.int64)
     cols = rng.integers(0, n, m, dtype=np.int64)
-    if undirected:
-        rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
-    vals = (rng.random(rows.size, dtype=np.float32) * 63 + 1).astype(dtypes.weight_dtype) \
-        if weighted else np.ones(rows.size, dtype=dtypes.weight_dtype)
-    return Coo(n, n, rows.astype(dtypes.vertex_dtype),
-               cols.astype(dtypes.vertex_dtype), vals).deduplicated().without_self_loops()
+    return _finalize(n, rows, cols, rng, undirected, weighted)
 
 
 def grid_2d(side: int, *, weighted: bool = False, seed: int = 1) -> Coo:

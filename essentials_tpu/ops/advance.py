@@ -80,6 +80,7 @@ def advance(g: Graph,
         msg, cond = out
     else:
         msg, cond = out, None
+    msg = jnp.broadcast_to(jnp.asarray(msg), src.shape)
 
     ident = combine_identity(combine, msg.dtype)
     msg = jnp.where(active, msg, ident)

@@ -1,0 +1,125 @@
+"""MST, geolocation, SpGEMM, helper-primitive tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from essentials_tpu.algorithms import mst, geo, spgemm, helpers
+from essentials_tpu.formats import Csr, Coo
+from essentials_tpu.graph import build_graph
+from essentials_tpu.io import generate
+from essentials_tpu.io.sample import sample_csr
+
+
+def _undirected(edges, n, weights):
+    src = np.array([e[0] for e in edges] + [e[1] for e in edges])
+    dst = np.array([e[1] for e in edges] + [e[0] for e in edges])
+    w = np.array(list(weights) + list(weights), np.float32)
+    return Csr.from_coo(Coo(n, n, src, dst, w))
+
+
+def test_mst_known():
+    # square with diagonal: MST = 3 cheapest non-cycle edges
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    weights = [1.0, 2.0, 3.0, 4.0, 5.0]
+    csr = _undirected(edges, 4, weights)
+    g = build_graph(csr, directed=False, weighted=True)
+    res = mst.run(g, warmup=False)
+    assert res.total_weight == 1.0 + 2.0 + 3.0
+    assert res.total_weight == pytest.approx(mst.cpu_reference(csr))
+
+
+def test_mst_random():
+    coo = generate.uniform_random(120, 4, seed=9, undirected=True, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=True)
+    res = mst.run(g, warmup=False)
+    assert res.total_weight == pytest.approx(mst.cpu_reference(csr), rel=1e-5)
+
+
+def test_mst_equal_weights():
+    # all weights equal: any spanning tree has weight n-1; determinism check
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    csr = _undirected(edges, 6, [1.0] * len(edges))
+    g = build_graph(csr, directed=False, weighted=True)
+    r1 = mst.run(g, warmup=False)
+    r2 = mst.run(g, warmup=False)
+    assert r1.total_weight == 5.0
+    np.testing.assert_array_equal(np.asarray(r1.in_mst), np.asarray(r2.in_mst))
+
+
+def test_mst_disconnected():
+    # two components -> spanning forest
+    edges = [(0, 1), (2, 3)]
+    csr = _undirected(edges, 4, [2.0, 7.0])
+    g = build_graph(csr, directed=False, weighted=True)
+    res = mst.run(g, warmup=False)
+    assert res.total_weight == 9.0
+
+
+def test_geo(chesapeake, chesapeake_csr):
+    n = chesapeake.n_vertices
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(-60, 60, n).astype(np.float32)
+    lon = rng.uniform(-170, 170, n).astype(np.float32)
+    unknown = rng.random(n) < 0.4
+    lat[unknown] = np.nan
+    lon[unknown] = np.nan
+    res = geo.run(chesapeake, lat, lon, total_iterations=10, warmup=False)
+    rl, rn = geo.cpu_reference(chesapeake_csr, lat, lon, total_iterations=10)
+    got = np.asarray(res.lat)
+    np.testing.assert_allclose(got, rl, atol=1e-3, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(res.lon), rn, atol=1e-3,
+                               equal_nan=True)
+    # previously-known positions unchanged
+    np.testing.assert_allclose(got[~unknown], lat[~unknown], atol=1e-6)
+
+
+def test_spgemm_identity():
+    a = sample_csr()
+    eye = Csr(4, 4, np.arange(5, dtype=np.int32),
+              np.arange(4, dtype=np.int32), np.ones(4, np.float32))
+    res = spgemm.run(a, eye, warmup=False)
+    np.testing.assert_array_equal(res.c.row_offsets, [0, 0, 0, 2, 4])
+    np.testing.assert_array_equal(res.c.col_indices, [1, 3, 2, 3])
+    np.testing.assert_allclose(res.c.values, [8, 5, 3, 6])
+
+
+def test_spgemm_vs_cpu():
+    rng = np.random.default_rng(4)
+    coo_a = generate.uniform_random(30, 3, seed=2, undirected=False)
+    coo_b = generate.uniform_random(30, 3, seed=3, undirected=False)
+    a, b = Csr.from_coo(coo_a), Csr.from_coo(coo_b)
+    res = spgemm.run(a, b, warmup=False)
+    ref = spgemm.cpu_reference(a, b)
+    np.testing.assert_array_equal(res.c.row_offsets, ref.row_offsets)
+    np.testing.assert_array_equal(res.c.col_indices, ref.col_indices)
+    np.testing.assert_allclose(res.c.values, ref.values, rtol=1e-5)
+
+
+def test_spgemm_dense_check():
+    coo_a = generate.uniform_random(20, 4, seed=5, undirected=False)
+    coo_b = generate.uniform_random(20, 4, seed=6, undirected=False)
+    a, b = Csr.from_coo(coo_a), Csr.from_coo(coo_b)
+    res = spgemm.run(a, b, warmup=False)
+
+    def dense(csr, r, c):
+        d = np.zeros((r, c))
+        src = np.repeat(np.arange(r), np.diff(csr.row_offsets))
+        d[src, np.asarray(csr.col_indices)] = np.asarray(csr.values)
+        return d
+
+    np.testing.assert_allclose(dense(res.c, 20, 20),
+                               dense(a, 20, 20) @ dense(b, 20, 20), rtol=1e-4)
+
+
+def test_helpers_search_sort():
+    keys = jnp.asarray([1, 3, 3, 7, 9])
+    assert int(helpers.lower_bound(keys, 3)) == 1
+    assert int(helpers.upper_bound(keys, 3)) == 3
+    assert int(helpers.rightmost(keys, 4)) == 2
+    assert int(helpers.rightmost(keys, 0)) == -1
+    sk = helpers.sort_keys(jnp.asarray([3, 1, 2]), descending=True)
+    np.testing.assert_array_equal(np.asarray(sk), [3, 2, 1])
+    k, v = helpers.sort_pairs(jnp.asarray([3, 1, 2]), jnp.asarray([30, 10, 20]))
+    np.testing.assert_array_equal(np.asarray(v), [10, 20, 30])

@@ -1,0 +1,73 @@
+"""Multi-device tests on an 8-way virtual CPU mesh (capability the reference
+never had: SURVEY.md §2.4 — every reference operator throws on >1 device)."""
+
+import numpy as np
+import pytest
+import jax
+
+from essentials_tpu.formats import Csr
+from essentials_tpu.graph import build_graph
+from essentials_tpu.io import generate
+from essentials_tpu.parallel import make_mesh
+from essentials_tpu.parallel.partition import partition_graph
+from essentials_tpu.parallel.distributed import dist_bfs, dist_pagerank
+from essentials_tpu.algorithms import bfs
+from essentials_tpu.utils import compare
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_partition_shapes(chesapeake_csr):
+    dg = partition_graph(chesapeake_csr, 8)
+    assert dg.n_devices == 8
+    assert dg.src.shape == (8, dg.edges_per_device)
+    assert int(dg.edge_valid.sum()) == chesapeake_csr.nnz
+    # every edge's dst owner is its row
+    dst_global = np.asarray(dg.dst_local) + \
+        (np.arange(8) * dg.block_size)[:, None]
+    valid = np.asarray(dg.edge_valid)
+    owners = dst_global[valid] // dg.block_size
+    rows = np.repeat(np.arange(8), valid.sum(axis=1))
+    np.testing.assert_array_equal(owners, rows)
+
+
+def test_dist_bfs_matches_single_device(chesapeake_csr, mesh8):
+    dg = partition_graph(chesapeake_csr, 8)
+    dist = np.asarray(dist_bfs(dg, mesh8, 0))[:chesapeake_csr.n_rows]
+    ref = bfs.cpu_reference(chesapeake_csr, 0)
+    assert compare(dist, ref) == 0
+
+
+def test_dist_bfs_chain(mesh8):
+    csr = Csr.from_coo(generate.chain(40))
+    dg = partition_graph(csr, 8)
+    dist = np.asarray(dist_bfs(dg, mesh8, 0))[:40]
+    np.testing.assert_array_equal(dist, np.arange(40))
+
+
+def test_dist_pagerank_sums_to_one(chesapeake_csr, mesh8):
+    dg = partition_graph(chesapeake_csr, 8)
+    p = np.asarray(dist_pagerank(dg, mesh8))
+    assert abs(p.sum() - 1.0) < 1e-4
+    # single-device reference: power iteration in numpy
+    n = chesapeake_csr.n_rows
+    off = np.asarray(chesapeake_csr.row_offsets)
+    cols = np.asarray(chesapeake_csr.col_indices)
+    deg = np.diff(off)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(100):
+        contrib = np.where(deg > 0, pr / np.maximum(deg, 1), 0.0)
+        nxt = np.zeros(n)
+        for u in range(n):
+            nxt[cols[off[u]:off[u + 1]]] += contrib[u]
+        dangling = pr[deg == 0].sum()
+        new = (1 - 0.85) / n + 0.85 * (nxt + dangling / n)
+        if np.abs(new - pr).sum() < 1e-6:
+            pr = new
+            break
+        pr = new
+    assert compare(p[:n], pr.astype(np.float32), atol=1e-4, rtol=1e-3) == 0
