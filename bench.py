@@ -2,12 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Protocol parity with the reference (BASELINE.md): time the enact loop only
-(graph build/IO excluded), mean of N runs after warmup. MTEPS = traversed
-edges (E, each edge relaxed once in the level-synchronous sweep sense) /
-elapsed. vs_baseline is achieved / target where target = 70% of a
-bandwidth-roofline estimate for the dense edge-sweep formulation on this
-chip's HBM (BASELINE.json: ">=70% of roofline MTEPS per chip").
+Methodology: the whole BFS (init + while_loop to convergence) is replayed R
+times from distinct high-degree sources inside ONE jitted fori_loop, and a
+single scalar checksum is fetched at the end — this amortizes away both the
+per-dispatch RPC latency of remote/tunneled TPU runtimes and the
+device->host fetch cost, so the number is pure on-device algorithm time
+(protocol parity with the reference's enact-loop-only timing,
+framework/enactor.hxx:243-254). MTEPS = E / mean-run-time.
+
+vs_baseline is achieved / target where target = 70% of a hardware roofline
+estimate (BASELINE.json: ">=70% of roofline MTEPS per chip"): a
+level-synchronous sweep must touch ~10 bytes/edge/superstep from HBM.
 """
 
 from __future__ import annotations
@@ -15,50 +20,61 @@ from __future__ import annotations
 import json
 import sys
 import time
+from functools import partial
 
 SCALE = 18
 EDGE_FACTOR = 16
-RUNS = 5
-
-# Dense edge-centric BFS moves, per iteration, roughly:
-#   frontier gather  f_full[src]   1 B/edge
-#   src ids                        4 B/edge
-#   dst ids                        4 B/edge
-#   segment write (amortized)     ~1 B/edge
-# -> ~10 B per edge per superstep.
+RUNS = 16
+HBM_GBPS = 819.0          # TPU v5e
 BYTES_PER_EDGE_PER_ITER = 10.0
-HBM_GBPS = {"tpu v5 lite": 819.0, "tpu v5e": 819.0}
 
 
 def main():
     import jax
+    import jax.numpy as jnp
+    import numpy as np
     from essentials_tpu.formats import Csr
     from essentials_tpu.graph import build_graph
     from essentials_tpu.io import generate
     from essentials_tpu.algorithms import bfs
 
-    import numpy as np
     coo = generate.rmat(SCALE, EDGE_FACTOR, seed=1, undirected=True,
                         weighted=False)
     csr = Csr.from_coo(coo)
     g = build_graph(csr, directed=False, weighted=False)
-    source = int(np.argmax(np.diff(np.asarray(csr.row_offsets))))
+    sources = jnp.asarray(
+        np.argsort(-np.diff(csr.row_offsets))[:RUNS].astype(np.int32))
+    max_it = 64
 
-    # warmup/compile
-    res = bfs.run(g, source, warmup=True)
-    iters = res.iterations
-    times = [res.elapsed_ms]
-    for _ in range(RUNS - 1):
-        times.append(bfs.run(g, source, warmup=False).elapsed_ms)
-    elapsed_ms = sorted(times)[len(times) // 2]
+    @partial(jax.jit, static_argnums=(2,))
+    def replay(g, sources, R):
+        def one(i, carry):
+            acc, _ = carry
+            st = bfs.init(g, sources[i % RUNS])
+            def cond(c):
+                return (c[1] < max_it) & jnp.any(c[0].frontier)
+            def body(c):
+                return bfs.step(g, c[0], c[1]), c[1] + 1
+            st, it = jax.lax.while_loop(
+                cond, body, (st, jnp.asarray(0, jnp.int32)))
+            return acc + jnp.sum(st.distances % 97) + it, it
+        return jax.lax.fori_loop(
+            0, R, one, (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
 
-    mteps = (g.n_edges / 1e6) / (elapsed_ms / 1e3)
+    def timed(R):
+        t0 = time.perf_counter()
+        acc, it = replay(g, sources, R)
+        _ = int(acc)  # forces execution + sync through any lazy runtime
+        return (time.perf_counter() - t0) * 1e3, int(it)
 
-    dev = str(jax.devices()[0]).lower()
-    hbm = next((v for k, v in HBM_GBPS.items() if k in dev), 819.0)
-    # roofline MTEPS for this dense formulation: each superstep sweeps all
-    # E edges; `iters` supersteps total.
-    roofline_mteps = (hbm * 1e9 / BYTES_PER_EDGE_PER_ITER) / max(iters, 1) / 1e6
+    timed(1)                       # compile
+    t1, _ = timed(1)               # fixed overhead
+    tR, iters = timed(RUNS)
+    per_run_ms = max((tR - t1) / (RUNS - 1), 1e-6)
+
+    mteps = (g.n_edges / 1e6) / (per_run_ms / 1e3)
+    roofline_mteps = (HBM_GBPS * 1e9 / BYTES_PER_EDGE_PER_ITER) \
+        / max(iters, 1) / 1e6
     target = 0.70 * roofline_mteps
 
     print(json.dumps({
@@ -67,9 +83,9 @@ def main():
         "unit": "MTEPS",
         "vs_baseline": round(mteps / target, 4),
     }))
-    print(f"# iters={iters} elapsed_ms={elapsed_ms:.2f} "
-          f"V={g.n_vertices} E={g.n_edges} backend={jax.default_backend()} "
-          f"roofline_mteps={roofline_mteps:.0f} runs={times}", file=sys.stderr)
+    print(f"# per_run_ms={per_run_ms:.2f} iters_last={iters} V={g.n_vertices} "
+          f"E={g.n_edges} backend={jax.default_backend()} "
+          f"roofline_mteps={roofline_mteps:.0f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

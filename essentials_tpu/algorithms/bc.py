@@ -46,8 +46,9 @@ def _single_source_deps(g: Graph, source, max_depth: int):
     def fwd_body(carry):
         depth, sigma, frontier, it = carry
         # paths flowing along edges from the current level
-        sig_in = advance(g, lambda s, d, e, w: sigma[s], frontier,
-                         combine=Combine.SUM, with_frontier=False)
+        sig_in = advance(g, lambda e: e.src_vals[0], frontier,
+                         src_values=(sigma,), combine=Combine.SUM,
+                         with_frontier=False)
         newly_mask = (depth == UNSEEN) & (sig_in > 0) & g.vertex_mask()
         depth = jnp.where(newly_mask, it + 1, depth)
         sigma = jnp.where(newly_mask, sig_in, sigma)
@@ -65,12 +66,15 @@ def _single_source_deps(g: Graph, source, max_depth: int):
     def bwd_body(carry):
         delta, d = carry
         # contribution to vertices at depth d-1 from successors at depth d
-        def edge_val(s, dd, e, w):
-            ok = (depth[s] == d - 1) & (depth[dd] == d)
-            safe_sig = jnp.maximum(sigma[dd], 1e-30)
-            return jnp.where(ok, sigma[s] / safe_sig * (1.0 + delta[dd]), 0.0)
+        ratio = (1.0 + delta) / jnp.maximum(sigma, 1e-30)
 
-        contrib = neighbor_reduce(g, edge_val, combine=Combine.SUM)
+        def edge_val(e):
+            ok = (e.src_vals[0] == d - 1) & (e.dst_vals[0] == d)
+            return jnp.where(ok, e.src_vals[1] * e.dst_vals[1], 0.0)
+
+        contrib = neighbor_reduce(g, edge_val, src_values=(depth, sigma),
+                                  dst_values=(depth, ratio),
+                                  combine=Combine.SUM)
         delta = jnp.where(depth == d - 1, contrib, delta)
         return delta, d - 1
 

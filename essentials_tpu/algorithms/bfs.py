@@ -46,7 +46,8 @@ def init(g: Graph, source: int | jax.Array) -> BfsState:
 
 def step(g: Graph, state: BfsState, it) -> BfsState:
     dist, pred, frontier = state
-    cand_pred, reached = advance(g, lambda s, d, e, w: s, frontier,
+    # msg = source id; MIN-combine = deterministic smallest-id predecessor.
+    cand_pred, reached = advance(g, lambda e: e.src, frontier,
                                  combine=Combine.MIN)
     newly = reached & (dist == UNREACHED)
     dist = jnp.where(newly, it + 1, dist)

@@ -43,14 +43,15 @@ def init(g: Graph, seed: int = 0) -> ColorState:
 
 def step(g: Graph, state: ColorState, it) -> ColorState:
     colors, randoms, frontier = state
-    uncolored_rand = jnp.where(frontier, randoms, -jnp.inf)
 
-    # max / min priority among *uncolored* neighbors of each vertex
-    nbr_max = advance(g, lambda s, d, e, w: uncolored_rand[s], frontier,
-                      combine=Combine.MAX, with_frontier=False)
-    nbr_min_src = jnp.where(frontier, randoms, jnp.inf)
-    nbr_min = advance(g, lambda s, d, e, w: nbr_min_src[s], frontier,
-                      combine=Combine.MIN, with_frontier=False)
+    # max / min priority among *uncolored* neighbors of each vertex;
+    # ONE expansion + routing feeds both combines (advance_multi).
+    from essentials_tpu.ops import advance_multi
+    nbr_max, nbr_min = advance_multi(
+        g,
+        [(lambda e: e.src_vals[0], Combine.MAX),
+         (lambda e: e.src_vals[0], Combine.MIN)],
+        frontier, src_values=(randoms,))
 
     is_max = frontier & (randoms > nbr_max)
     is_min = frontier & (randoms < nbr_min) & ~is_max

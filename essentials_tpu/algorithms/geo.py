@@ -64,13 +64,17 @@ def step(g: Graph, state: GeoState, it) -> GeoState:
     lat, lon = state
     known = ~jnp.isnan(lat)
     x, y, z = _to_xyz(jnp.nan_to_num(lat), jnp.nan_to_num(lon))
+    kx = jnp.where(known, x, 0.0)
+    ky = jnp.where(known, y, 0.0)
+    kz = jnp.where(known, z, 0.0)
 
-    def agg(vals):
-        return advance(g, lambda s, d, e, w: jnp.where(known[s], vals[s], 0.0),
-                       None, input_kind=AdvanceIO.GRAPH, combine=Combine.SUM,
-                       with_frontier=False)
-
-    sx, sy, sz = agg(x), agg(y), agg(z)
+    from essentials_tpu.ops import advance_multi
+    sx, sy, sz = advance_multi(
+        g,
+        [(lambda e: e.src_vals[0], Combine.SUM),
+         (lambda e: e.src_vals[1], Combine.SUM),
+         (lambda e: e.src_vals[2], Combine.SUM)],
+        None, src_values=(kx, ky, kz), input_kind=AdvanceIO.GRAPH)
     nlat, nlon = _to_latlon(sx, sy, sz)
     new_lat = jnp.where(known, lat, nlat)
     new_lon = jnp.where(known, lon, nlon)

@@ -41,12 +41,12 @@ def init(g: Graph) -> HitsState:
 def step(g: Graph, state: HitsState, it) -> HitsState:
     auth, hub, _ = state
     # auth[d] = sum over in-edges (s->d) hub[s]  (dst-keyed segment sum)
-    new_auth = advance(g, lambda s, d, e, w: hub[s], None,
-                       input_kind=AdvanceIO.GRAPH, combine=Combine.SUM,
-                       with_frontier=False)
+    new_auth = advance(g, lambda e: e.src_vals[0], None,
+                       src_values=(hub,), input_kind=AdvanceIO.GRAPH,
+                       combine=Combine.SUM, with_frontier=False)
     # hub[s] = sum over out-edges (s->d) auth[d] (src-keyed segment sum)
-    new_hub = neighbor_reduce(g, lambda s, d, e, w: new_auth[d],
-                              combine=Combine.SUM)
+    new_hub = neighbor_reduce(g, lambda e: e.dst_vals[0],
+                              dst_values=(new_auth,), combine=Combine.SUM)
     na = new_auth / jnp.maximum(jnp.linalg.norm(new_auth), 1e-12)
     nh = new_hub / jnp.maximum(jnp.linalg.norm(new_hub), 1e-12)
     delta = jnp.sum(jnp.abs(na - auth)) + jnp.sum(jnp.abs(nh - hub))

@@ -48,7 +48,7 @@ def step(g: Graph, state: KcoreState, it) -> KcoreState:
     core = jnp.where(peel, k - 1, core)
     alive = alive & ~peel
     # subtract removed neighbors' contributions
-    removed_nbrs = advance(g, lambda s, d, e, w: 1, peel,
+    removed_nbrs = advance(g, lambda e: 1, peel,
                            combine=Combine.SUM, with_frontier=False)
     deg = deg - removed_nbrs.astype(jnp.int32)
     # if nothing peeled this sweep, advance k

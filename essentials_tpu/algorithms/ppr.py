@@ -53,8 +53,9 @@ def step(g: Graph, state: PprState, it) -> PprState:
 
     p = p + jnp.where(frontier, c_keep * r, 0.0)
     push = jnp.where(frontier & (deg > 0), c_push * r / jnp.maximum(deg, 1.0), 0.0)
-    inflow = advance(g, lambda s, d, e, w: push[s], frontier,
-                     combine=Combine.SUM, with_frontier=False)
+    inflow = advance(g, lambda e: e.src_vals[0], frontier,
+                     src_values=(push,), combine=Combine.SUM,
+                     with_frontier=False)
     r = jnp.where(frontier, 0.0, r) + inflow
     new_frontier = (r >= eps * deg) & (deg > 0) & g.vertex_mask()
     return PprState(p, r, new_frontier, alpha, eps)

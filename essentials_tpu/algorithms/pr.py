@@ -38,7 +38,7 @@ class PrResult(NamedTuple):
 def init(g: Graph, alpha: float = 0.85, tol: float = 1e-6) -> PrState:
     vp = g.n_vertices_padded
     # Reference pr.hxx:77-90: iweight[v] = alpha / sum_w(out edges of v).
-    wsum = neighbor_reduce(g, lambda s, d, e, w: w, combine=Combine.SUM)
+    wsum = neighbor_reduce(g, lambda e: e.weight, combine=Combine.SUM)
     iweights = jnp.where(wsum > 0, alpha / wsum, 0.0).astype(jnp.float32)
     ranks = jnp.where(g.vertex_mask(), 1.0 / g.n_vertices, 0.0).astype(jnp.float32)
     return PrState(ranks, jnp.asarray(jnp.inf, jnp.float32), iweights,
@@ -50,9 +50,10 @@ def step(g: Graph, state: PrState, it) -> PrState:
     # dangling mass (vertices with no out-weight) redistributed uniformly
     dangling = jnp.sum(jnp.where((iweights == 0.0) & g.vertex_mask(), ranks, 0.0))
     base = (1.0 - alpha) / g.n_vertices + alpha * dangling / g.n_vertices
-    spread = advance(g, lambda s, d, e, w: ranks[s] * iweights[s] * w, None,
-                     input_kind=AdvanceIO.GRAPH, combine=Combine.SUM,
-                     with_frontier=False)
+    contrib = ranks * iweights          # per-vertex work stays on the vertex axis
+    spread = advance(g, lambda e: e.src_vals[0] * e.weight, None,
+                     src_values=(contrib,), input_kind=AdvanceIO.GRAPH,
+                     combine=Combine.SUM, with_frontier=False)
     new_ranks = jnp.where(g.vertex_mask(), base + spread, 0.0)
     err = jnp.sum(jnp.abs(new_ranks - ranks))
     return PrState(new_ranks, err, iweights, alpha, tol)

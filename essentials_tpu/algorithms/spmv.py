@@ -28,16 +28,17 @@ class SpmvResult(NamedTuple):
 @jax.jit
 def spmv_pull(g: Graph, x: jax.Array) -> jax.Array:
     """y[row] = sum over row's edges of w * x[col] — src-keyed segment sum."""
-    return neighbor_reduce(g, lambda s, d, e, w: w * x[d], combine=Combine.SUM)
+    return neighbor_reduce(g, lambda e: e.weight * e.dst_vals[0],
+                           dst_values=(x,), combine=Combine.SUM)
 
 
 @jax.jit
 def spmv_push(g: Graph, x: jax.Array) -> jax.Array:
     """Transpose-free push: y[dst] += w * x[src] over the dst-sorted edges —
     computes A^T @ x in the same graph; with symmetric A equals pull."""
-    return advance(g, lambda s, d, e, w: w * x[s], None,
-                   input_kind=AdvanceIO.GRAPH, combine=Combine.SUM,
-                   with_frontier=False)
+    return advance(g, lambda e: e.weight * e.src_vals[0], None,
+                   src_values=(x,), input_kind=AdvanceIO.GRAPH,
+                   combine=Combine.SUM, with_frontier=False)
 
 
 def run(g: Graph, x=None, *, variant: str = "pull", seed: int = 0,

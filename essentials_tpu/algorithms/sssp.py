@@ -45,18 +45,20 @@ def init(g: Graph, source) -> SsspState:
 def step(g: Graph, state: SsspState, it) -> SsspState:
     dist, pred, frontier = state
 
-    cand = advance(g, lambda s, d, e, w: dist[s] + w, frontier,
-                   combine=Combine.MIN, with_frontier=False)
+    cand = advance(g, lambda e: e.src_vals[0] + e.weight, frontier,
+                   src_values=(dist,), combine=Combine.MIN,
+                   with_frontier=False)
     improved = cand < dist
     new_dist = jnp.where(improved, cand, dist)
 
     # Deterministic predecessor: smallest source id achieving the new
     # distance at an improved destination.
-    def pred_op(s, d, e, w):
-        achieves = (dist[s] + w) == new_dist[d]
-        return jnp.where(achieves, s, jnp.iinfo(jnp.int32).max)
+    def pred_op(e):
+        achieves = (e.src_vals[0] + e.weight) == e.dst_vals[0]
+        return jnp.where(achieves, e.src, jnp.iinfo(jnp.int32).max)
 
-    cand_pred = advance(g, pred_op, frontier, combine=Combine.MIN,
+    cand_pred = advance(g, pred_op, frontier, src_values=(dist,),
+                        dst_values=(new_dist,), combine=Combine.MIN,
                         with_frontier=False)
     new_pred = jnp.where(improved, cand_pred, pred)
     return SsspState(new_dist, new_pred, improved & g.vertex_mask())

@@ -57,7 +57,8 @@ class GraphProperties:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["row_offsets", "col_indices", "src_indices", "values",
                       "csc_offsets", "csc_src_indices", "csc_dst_indices",
-                      "csc_values", "csc_edge_ids"],
+                      "csc_values", "csc_edge_ids",
+                      "csc_rank", "csc_seg_flags", "csr_seg_flags"],
          meta_fields=["n_vertices", "n_edges", "n_vertices_padded",
                       "n_edges_padded", "properties"])
 @dataclass(frozen=True)
@@ -81,6 +82,12 @@ class Graph:
     csc_dst_indices: jax.Array | None  # [Ep] int32
     csc_values: jax.Array | None       # [Ep] weight
     csc_edge_ids: jax.Array | None     # [Ep] int32 -> CSR edge id
+
+    # --- static routing structures for the gather-free segment engine
+    #     (ops/segment.py) — the TPU replacement for merge-path balancing ---
+    csc_rank: jax.Array | None         # [Ep] int32: CSC position of CSR edge e
+    csc_seg_flags: jax.Array | None    # [Ep] bool: dst-segment starts (CSC)
+    csr_seg_flags: jax.Array | None    # [Ep] bool: src-segment starts (CSR)
 
     # ------------------------------------------------------------------ #
     @property
@@ -162,7 +169,13 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
     else:
         val[:e] = 1
 
-    kw = {}
+    # segment-start flags in CSR order (for MIN/MAX combines by src)
+    csr_flags = np.zeros(ep, bool)
+    starts = row_offsets[:-1][np.diff(row_offsets.astype(np.int64)) > 0]
+    csr_flags[starts] = True
+
+    kw = {"csc_rank": None, "csc_seg_flags": None,
+          "csr_seg_flags": jnp.asarray(csr_flags)}
     if build_csc:
         order = np.lexsort((src[:e], col[:e]))
         csc_src = np.full(ep, pad_v, dtypes.vertex_dtype)
@@ -178,13 +191,22 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
         np.cumsum(in_deg, out=csc_off[1: v + 1])
         csc_off[0] = 0
         csc_off[v + 1:] = ep
-        kw = dict(csc_offsets=jnp.asarray(csc_off),
+        # rank permutation: CSC position of each CSR edge (pad edges fixed)
+        rank = np.arange(ep, dtype=dtypes.edge_dtype)
+        rank[order] = np.arange(e, dtype=dtypes.edge_dtype)
+        # segment-start flags in CSC order
+        csc_flags = np.zeros(ep, bool)
+        cstarts = csc_off[:-1][np.diff(csc_off.astype(np.int64)) > 0]
+        csc_flags[cstarts] = True
+        kw.update(csc_offsets=jnp.asarray(csc_off),
                   csc_src_indices=jnp.asarray(csc_src),
                   csc_dst_indices=jnp.asarray(csc_dst),
                   csc_values=jnp.asarray(csc_val),
-                  csc_edge_ids=jnp.asarray(csc_eid))
+                  csc_edge_ids=jnp.asarray(csc_eid),
+                  csc_rank=jnp.asarray(rank),
+                  csc_seg_flags=jnp.asarray(csc_flags))
     else:
-        kw = dict(csc_offsets=None, csc_src_indices=None, csc_dst_indices=None,
+        kw.update(csc_offsets=None, csc_src_indices=None, csc_dst_indices=None,
                   csc_values=None, csc_edge_ids=None)
 
     g = Graph(
