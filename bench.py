@@ -67,8 +67,9 @@ def main():
         _ = int(acc)  # forces execution + sync through any lazy runtime
         return (time.perf_counter() - t0) * 1e3, int(it)
 
-    timed(1)                       # compile
+    timed(1)                       # compile R=1 program
     t1, _ = timed(1)               # fixed overhead
+    timed(RUNS)                    # compile R=RUNS program
     tR, iters = timed(RUNS)
     per_run_ms = max((tR - t1) / (RUNS - 1), 1e-6)
 

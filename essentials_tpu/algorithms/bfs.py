@@ -1,10 +1,12 @@
 """Breadth-first search.
 
 Reference parity: gunrock::bfs (/root/reference/include/gunrock/algorithms/
-bfs.hxx:110-178): frontier-driven level synchronous BFS; the reference's
-atomicMin depth relaxation inside the advance lambda becomes a deterministic
-segment-MIN combine, and the predecessor tie-break is deterministic (smallest
-source id) instead of atomic-race-order.
+bfs.hxx:110-178): frontier-driven level-synchronous BFS. TPU-native
+structure: the hot loop computes ONLY the reached-set per level (an
+OR-combine — one int32 cumsum over the edge axis); depths are assigned from
+the iteration counter; predecessors are derived afterwards in a single
+full-graph advance (MIN over sources one level up) instead of the
+reference's per-step atomic races — deterministic smallest-id predecessors.
 """
 
 from __future__ import annotations
@@ -18,14 +20,13 @@ import jax.numpy as jnp
 from essentials_tpu.frontier import frontier_from_indices
 from essentials_tpu.framework.enactor import enact, default_converged, EnactResult
 from essentials_tpu.graph.graph import Graph
-from essentials_tpu.ops import advance, Combine
+from essentials_tpu.ops import advance, Combine, AdvanceIO
 
 UNREACHED = np.iinfo(np.int32).max
 
 
 class BfsState(NamedTuple):
     distances: jax.Array      # int32[Vp], UNREACHED where not found yet
-    predecessors: jax.Array   # int32[Vp], -1 where none
     frontier: jax.Array       # bool[Vp]
 
 
@@ -39,31 +40,45 @@ class BfsResult(NamedTuple):
 def init(g: Graph, source: int | jax.Array) -> BfsState:
     vp = g.n_vertices_padded
     dist = jnp.full(vp, UNREACHED, jnp.int32).at[source].set(0)
-    pred = jnp.full(vp, -1, jnp.int32)
     frontier = frontier_from_indices(g, jnp.asarray([source]))
-    return BfsState(dist, pred, frontier)
+    return BfsState(dist, frontier)
 
 
 def step(g: Graph, state: BfsState, it) -> BfsState:
-    dist, pred, frontier = state
-    # msg = source id; MIN-combine = deterministic smallest-id predecessor.
-    cand_pred, reached = advance(g, lambda e: e.src, frontier,
-                                 combine=Combine.MIN)
+    dist, frontier = state
+    reached = advance(g, lambda e: True, frontier,
+                      combine=Combine.OR, with_frontier=False)
     newly = reached & (dist == UNREACHED)
     dist = jnp.where(newly, it + 1, dist)
-    pred = jnp.where(newly, cand_pred, pred)
-    return BfsState(dist, pred, newly)
+    return BfsState(dist, newly)
+
+
+def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:
+    """pred[v] = smallest-id in-neighbor one BFS level up (-1 at source /
+    unreached). One full-graph advance (MIN)."""
+    def msg(e):
+        ok = (e.src_vals[0] + 1) == e.dst_vals[0]
+        return jnp.where(ok, e.src, jnp.iinfo(jnp.int32).max)
+
+    cand = advance(g, msg, None, src_values=(dist,), dst_values=(dist,),
+                   input_kind=AdvanceIO.GRAPH, combine=Combine.MIN,
+                   with_frontier=False)
+    valid = (dist != UNREACHED) & (dist > 0) & (cand < jnp.iinfo(jnp.int32).max)
+    return jnp.where(valid, cand, -1)
 
 
 def run(g: Graph, source: int, *, max_iterations: int | None = None,
-        warmup: bool = True) -> BfsResult:
+        compute_predecessors: bool = True, warmup: bool = True) -> BfsResult:
     max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
     res: EnactResult = enact(step, default_converged, g, init(g, source),
                              max_iterations=max_it, warmup=warmup)
     st: BfsState = res.state
     v = g.n_vertices
-    return BfsResult(st.distances[:v], st.predecessors[:v],
-                     res.iterations, res.elapsed_ms)
+    if compute_predecessors:
+        pred = predecessors_from_distances(g, st.distances)[:v]
+    else:
+        pred = jnp.full(v, -1, jnp.int32)
+    return BfsResult(st.distances[:v], pred, res.iterations, res.elapsed_ms)
 
 
 def cpu_reference(csr, source: int) -> np.ndarray:

@@ -58,7 +58,8 @@ class GraphProperties:
          data_fields=["row_offsets", "col_indices", "src_indices", "values",
                       "csc_offsets", "csc_src_indices", "csc_dst_indices",
                       "csc_values", "csc_edge_ids",
-                      "csc_rank", "csc_seg_flags", "csr_seg_flags"],
+                      "csc_rank", "csc_seg_flags", "csr_seg_flags",
+                      "route_fwd", "route_bwd"],
          meta_fields=["n_vertices", "n_edges", "n_vertices_padded",
                       "n_edges_padded", "properties"])
 @dataclass(frozen=True)
@@ -88,6 +89,8 @@ class Graph:
     csc_rank: jax.Array | None         # [Ep] int32: CSC position of CSR edge e
     csc_seg_flags: jax.Array | None    # [Ep] bool: dst-segment starts (CSC)
     csr_seg_flags: jax.Array | None    # [Ep] bool: src-segment starts (CSR)
+    route_fwd: object | None           # PermutePlan CSR->CSC (Benes router)
+    route_bwd: object | None           # PermutePlan CSC->CSR
 
     # ------------------------------------------------------------------ #
     @property
@@ -136,8 +139,9 @@ class Graph:
 
 
 def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
-                build_csc: bool = True, vertex_pad: int = 8,
-                edge_pad: int = 128, device=None) -> Graph:
+                build_csc: bool = True, build_router: bool | None = None,
+                vertex_pad: int = 8, edge_pad: int = 128,
+                device=None) -> Graph:
     """Build a device Graph from a host Csr/Coo.
 
     Reference parity: graph::build::from_csr
@@ -175,7 +179,8 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
     csr_flags[starts] = True
 
     kw = {"csc_rank": None, "csc_seg_flags": None,
-          "csr_seg_flags": jnp.asarray(csr_flags)}
+          "csr_seg_flags": jnp.asarray(csr_flags),
+          "route_fwd": None, "route_bwd": None}
     if build_csc:
         order = np.lexsort((src[:e], col[:e]))
         csc_src = np.full(ep, pad_v, dtypes.vertex_dtype)
@@ -205,6 +210,21 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
                   csc_edge_ids=jnp.asarray(csc_eid),
                   csc_rank=jnp.asarray(rank),
                   csc_seg_flags=jnp.asarray(csc_flags))
+        # Benes router plans (TPU hot path): gather CSR->CSC uses
+        # csc_edge_ids as gather indices; the reverse uses rank.
+        # Default ON for TPU runs, OFF on CPU backends (where XLA's gather
+        # is fine and plan construction costs host time).
+        want_router = build_router
+        if want_router is None:
+            want_router = jax.default_backend() == "tpu"
+        if want_router:
+            from essentials_tpu.ops.permute import route_permutation
+            full_eids = np.arange(ep, dtype=np.int64)
+            full_eids[:e] = order
+            kw["route_fwd"] = route_permutation(full_eids)
+            rank_full = np.arange(ep, dtype=np.int64)
+            rank_full[order] = np.arange(e, dtype=np.int64)
+            kw["route_bwd"] = route_permutation(rank_full)
     else:
         kw.update(csc_offsets=None, csc_src_indices=None, csc_dst_indices=None,
                   csc_values=None, csc_edge_ids=None)

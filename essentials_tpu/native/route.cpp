@@ -1,0 +1,135 @@
+// Beneš/Clos routing support: bipartite multigraph edge coloring by
+// recursive Euler splitting.
+//
+// Used by ops/permute.py to decompose an arbitrary static permutation into
+// stages of TPU-friendly within-row (128-lane) gathers. XLA's arbitrary
+// gather/scatter lowerings serialize the edge axis (~7.5 ns/element measured
+// on TPU v5e), while Mosaic's within-row dynamic_gather runs at full VPU
+// throughput — so a 2k-1-stage Clos network of row gathers beats both the
+// native gather (~100x) and a routing sort (~25x).
+//
+// Problem: given a D-regular bipartite multigraph (left/right node sets of
+// size R, N = R*D edges given as (u[e], v[e])), produce a proper edge
+// coloring with D colors (every color class is a perfect matching). D must
+// be a power of two: recursively split Eulerian circuits into halves.
+//
+// C ABI:
+//   int etpu_edge_color(int64 n_edges, int64 n_left, int32 degree,
+//                       const int32* u, const int32* v, int32* colors_out)
+//   returns 0 on success, nonzero on invalid input.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// One Euler-split level: partition the edge subset into two halves such that
+// every node's incident edges split evenly. Edges alternate direction along
+// Eulerian circuits; we assign by traversal direction (left->right = 0).
+//
+// adjacency is rebuilt per call over the subset. Nodes: left 0..R-1 mapped
+// to 0..R-1, right 0..R-1 mapped to R..2R-1.
+void euler_split(const int32_t* u, const int32_t* v, int64_t r,
+                 const std::vector<int64_t>& subset, int degree,
+                 std::vector<int64_t>& half0, std::vector<int64_t>& half1,
+                 // scratch reused across calls:
+                 std::vector<int64_t>& adj_off, std::vector<int64_t>& adj_edge,
+                 std::vector<int64_t>& cursor, std::vector<uint8_t>& used) {
+  const int64_t n_nodes = 2 * r;
+  const int64_t m = (int64_t)subset.size();
+
+  adj_off.assign(n_nodes + 1, 0);
+  for (int64_t k = 0; k < m; ++k) {
+    int64_t e = subset[k];
+    adj_off[u[e] + 1]++;
+    adj_off[(int64_t)v[e] + r + 1]++;
+  }
+  for (int64_t i = 0; i < n_nodes; ++i) adj_off[i + 1] += adj_off[i];
+  adj_edge.resize(2 * m);
+  cursor.assign(adj_off.begin(), adj_off.end() - 1);
+  for (int64_t k = 0; k < m; ++k) {
+    int64_t e = subset[k];
+    adj_edge[cursor[u[e]]++] = k;
+    adj_edge[cursor[(int64_t)v[e] + r]++] = k;
+  }
+  // reset cursors to walk each node's list once
+  cursor.assign(adj_off.begin(), adj_off.end() - 1);
+  used.assign(m, 0);
+
+  half0.clear();
+  half1.clear();
+  half0.reserve(m / 2);
+  half1.reserve(m / 2);
+
+  // Hierholzer-lite: every node has even degree, so greedy trail-following
+  // from any unused edge closes a circuit; alternate directions assign
+  // halves. Start each walk on a LEFT node going left->right (= half0);
+  // bipartite circuits alternate strictly, so each node splits evenly.
+  for (int64_t k0 = 0; k0 < m; ++k0) {
+    if (used[k0]) continue;
+    int64_t k = k0;
+    // walk forward: left->right edge goes to half0, then from the right
+    // node take any unused edge back (right->left, half1), etc.
+    bool forward = true;  // we are about to traverse edge k left->right
+    while (true) {
+      used[k] = 1;
+      int64_t e = subset[k];
+      int64_t next_node;
+      if (forward) {
+        half0.push_back(e);
+        next_node = (int64_t)v[e] + r;  // now at the right endpoint
+      } else {
+        half1.push_back(e);
+        next_node = u[e];               // back at a left endpoint
+      }
+      // find next unused incident edge at next_node
+      int64_t& cur = cursor[next_node];
+      const int64_t end = adj_off[next_node + 1];
+      while (cur < end && used[adj_edge[cur]]) ++cur;
+      if (cur >= end) break;            // circuit closed
+      k = adj_edge[cur];
+      forward = !forward;
+    }
+  }
+}
+
+void color_recursive(const int32_t* u, const int32_t* v, int64_t r,
+                     std::vector<int64_t>& subset, int degree, int color_base,
+                     int32_t* colors,
+                     std::vector<int64_t>& adj_off,
+                     std::vector<int64_t>& adj_edge,
+                     std::vector<int64_t>& cursor, std::vector<uint8_t>& used) {
+  if (degree == 1) {
+    for (int64_t e : subset) colors[e] = color_base;
+    return;
+  }
+  std::vector<int64_t> half0, half1;
+  euler_split(u, v, r, subset, degree, half0, half1,
+              adj_off, adj_edge, cursor, used);
+  subset.clear();
+  subset.shrink_to_fit();
+  color_recursive(u, v, r, half0, degree / 2, color_base, colors,
+                  adj_off, adj_edge, cursor, used);
+  color_recursive(u, v, r, half1, degree / 2, color_base + degree / 2, colors,
+                  adj_off, adj_edge, cursor, used);
+}
+
+}  // namespace
+
+extern "C" {
+
+int etpu_edge_color(int64_t n_edges, int64_t n_left, int32_t degree,
+                    const int32_t* u, const int32_t* v, int32_t* colors_out) {
+  if (degree <= 0 || (degree & (degree - 1)) != 0) return 1;  // power of 2
+  if (n_edges != n_left * (int64_t)degree) return 2;
+  std::vector<int64_t> subset(n_edges);
+  for (int64_t e = 0; e < n_edges; ++e) subset[e] = e;
+  std::vector<int64_t> adj_off, adj_edge, cursor;
+  std::vector<uint8_t> used;
+  color_recursive(u, v, n_left, subset, degree, 0, colors_out,
+                  adj_off, adj_edge, cursor, used);
+  return 0;
+}
+
+}  // extern "C"

@@ -73,9 +73,13 @@ def _expand_and_route(g: Graph, frontier, input_kind: AdvanceIO,
         raise ValueError(input_kind)
 
     if payloads:
-        routed = apply_permutation(g.csc_rank, *payloads)
-        if len(payloads) == 1:
-            routed = (routed,)
+        if g.route_fwd is not None:
+            from essentials_tpu.ops.permute import apply_plan_multi
+            routed = apply_plan_multi(tuple(payloads), g.route_fwd)
+        else:
+            routed = apply_permutation(g.csc_rank, *payloads)
+            if len(payloads) == 1:
+                routed = (routed,)
     else:
         routed = ()
 
@@ -174,5 +178,9 @@ def advance_edges(g: Graph,
     cond = message_fn(edges)
     fired = (active & cond).astype(jnp.int8)
     # route back CSC -> CSR: csc_edge_ids IS the inverse rank permutation
-    back = apply_permutation(g.csc_edge_ids, fired)
+    if g.route_bwd is not None:
+        from essentials_tpu.ops.permute import apply_plan
+        back = apply_plan(fired, g.route_bwd)
+    else:
+        back = apply_permutation(g.csc_edge_ids, fired)
     return (back != 0) & g.edge_mask()

@@ -41,8 +41,12 @@ def neighbor_reduce(g: Graph, message_fn: Callable, *,
     if dst_values:
         expanded = [expand_vertex_to_edges(v, g.csc_offsets, ep)
                     for v in dst_values]
-        routed = apply_permutation(g.csc_edge_ids, *expanded)
-        dst_vals = (routed,) if len(expanded) == 1 else tuple(routed)
+        if g.route_bwd is not None:
+            from essentials_tpu.ops.permute import apply_plan_multi
+            dst_vals = apply_plan_multi(tuple(expanded), g.route_bwd)
+        else:
+            routed = apply_permutation(g.csc_edge_ids, *expanded)
+            dst_vals = (routed,) if len(expanded) == 1 else tuple(routed)
     else:
         dst_vals = ()
 
