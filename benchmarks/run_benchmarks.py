@@ -1,0 +1,86 @@
+"""Benchmark harness: every algorithm on a dataset suite, JSON output.
+
+Reference parity: the NVBench binaries + test_benchmarks.sh
+(/root/reference/benchmarks/, emits per-algorithm JSON). This environment
+has no dataset egress, so the default suite is generated (see
+datasets/generate_suite.py); pass .mtx paths to use real graphs.
+
+Usage:
+  python benchmarks/run_benchmarks.py [--cpu] [--out results.json] [graphs...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def bench_graph(path: str, runs: int) -> list[dict]:
+    import numpy as np
+    from essentials_tpu.io import load_graph_file
+    from essentials_tpu.io.loader import extract_dataset
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu import algorithms as A
+    from essentials_tpu.utils.stats import collect_stats
+
+    csr = load_graph_file(path)
+    g = build_graph(csr, directed=False, weighted=True)
+    source = int(np.argmax(np.diff(np.asarray(csr.row_offsets))))
+    ds = extract_dataset(path)
+    out = []
+
+    def record(name, run_fn, *a, **kw):
+        try:
+            res = run_fn(*a, warmup=True, **kw)
+            times = [res.elapsed_ms]
+            for _ in range(runs - 1):
+                times.append(run_fn(*a, warmup=False, **kw).elapsed_ms)
+            ms = float(np.median(times))
+            iters = getattr(res, "iterations", 1)
+            st = collect_stats(name, ds, g, ms, iters)
+            out.append(json.loads(st.to_json()))
+            print(f"  {name:8s} {ms:10.3f} ms  {st.mteps:10.1f} MTEPS")
+        except Exception as e:  # keep the suite running
+            print(f"  {name:8s} FAILED: {type(e).__name__}: {e}")
+            out.append({"algorithm": name, "dataset": ds, "error": str(e)})
+
+    record("bfs", A.bfs.run, g, source)
+    record("sssp", A.sssp.run, g, source)
+    record("pr", A.pr.run, g)
+    record("ppr", A.ppr.run, g, source)
+    record("bc", A.bc.run, g, source)
+    record("color", A.color.run, g)
+    record("kcore", A.kcore.run, g)
+    record("hits", A.hits.run, g)
+    record("spmv", A.spmv.run, g)
+    record("tc", A.tc.run, csr)
+    record("mst", A.mst.run, g)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("graphs", nargs="*",
+                   default=["datasets/chesapeake.mtx"])
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    results = []
+    for path in args.graphs:
+        print(f"== {path} ==")
+        results.extend(bench_graph(path, args.runs))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,6 +81,53 @@ def step(g: Graph, state: GeoState, it) -> GeoState:
     return GeoState(new_lat, new_lon)
 
 
+def spatial_median(g: Graph, lat, lon, *, iterations: int = 5):
+    """Weiszfeld refinement of the per-vertex neighbor center under great-
+    circle distance (reference parity: geo.hxx spatial_median, :28-230).
+    Each Weiszfeld iteration is one advance over the edge axis: neighbors'
+    positions weighted by 1/haversine-distance to the current estimate.
+
+    Returns refined (lat, lon) for every vertex with located neighbors.
+    """
+    known = ~jnp.isnan(lat)
+    x, y, z = _to_xyz(jnp.nan_to_num(lat), jnp.nan_to_num(lon))
+    kx = jnp.where(known, x, 0.0)
+    ky = jnp.where(known, y, 0.0)
+    kz = jnp.where(known, z, 0.0)
+    kf = known.astype(jnp.float32)
+
+    est_lat, est_lon = lat, lon
+
+    from essentials_tpu.ops import advance_multi
+    for _ in range(iterations):
+        ex, ey, ez = _to_xyz(jnp.nan_to_num(est_lat), jnp.nan_to_num(est_lon))
+
+        def wmsg(i):
+            def fn(e):
+                # inverse chord distance from dst's current estimate to
+                # src's (known) position ~ inverse haversine for small d
+                dx = e.src_vals[0] - e.dst_vals[0]
+                dy = e.src_vals[1] - e.dst_vals[1]
+                dz = e.src_vals[2] - e.dst_vals[2]
+                d = jnp.sqrt(dx * dx + dy * dy + dz * dz) + 1e-6
+                w = e.src_vals[3] / d
+                return w * (e.src_vals[i] if i < 3 else 1.0)
+            return fn
+
+        sx, sy, sz, sw = advance_multi(
+            g,
+            [(wmsg(0), Combine.SUM), (wmsg(1), Combine.SUM),
+             (wmsg(2), Combine.SUM), (wmsg(3), Combine.SUM)],
+            None, src_values=(kx, ky, kz, kf), dst_values=(ex, ey, ez),
+            input_kind=AdvanceIO.GRAPH)
+        nlat, nlon = _to_latlon(sx / jnp.maximum(sw, 1e-12),
+                                sy / jnp.maximum(sw, 1e-12),
+                                sz / jnp.maximum(sw, 1e-12))
+        est_lat = jnp.where(jnp.isnan(nlat), est_lat, nlat)
+        est_lon = jnp.where(jnp.isnan(nlon), est_lon, nlon)
+    return est_lat, est_lon
+
+
 def converged(g: Graph, state: GeoState, it) -> jax.Array:
     # all real vertices located (isolated vertices can never be located,
     # so also accept fixed-point via max_iterations)

@@ -222,6 +222,23 @@ def _apply(x: jax.Array, plan: PermutePlan, use_pallas: bool,
         idx = _bcast_idx(plan.leaf_idx, p)
         w = idx.shape[1]
         if use_pallas and w < LANES:
+            # Pack k narrow rows into one 128-lane row so the lane gather
+            # runs at full width (w=4 leaves would otherwise waste 32x).
+            B = idx.shape[0]
+            k = 1
+            while k * 2 * w <= LANES and B % (k * 2) == 0:
+                k *= 2
+            if k > 1:
+                base = (jnp.arange(k, dtype=idx.dtype) * w
+                        ).repeat(w)[None, :]                   # [1, k*w]
+                xp = x.reshape(B // k, k * w)
+                ip = idx.reshape(B // k, k * w) + base
+                pad = LANES - k * w
+                if pad:
+                    xp = jnp.pad(xp, ((0, 0), (0, pad)))
+                    ip = jnp.pad(ip, ((0, 0), (0, pad)))
+                out = _rowgather(xp, ip, True)[:, :k * w]
+                return out.reshape(B, w)
             xp = jnp.pad(x, ((0, 0), (0, LANES - w)))
             ip = jnp.pad(idx, ((0, 0), (0, LANES - w)))
             return _rowgather(xp, ip, True)[:, :w]

@@ -102,11 +102,18 @@ def combine_by_offsets(edge_vals: jax.Array, offsets: jax.Array,
     hi_off = offsets[1:]
     nonempty = hi_off > lo_off
 
+    # Segments tile the edge axis contiguously, so the low boundary prefix
+    # equals the previous segment's high boundary: lo = shift(hi, 1). One
+    # V-sized gather instead of two (V-gathers cost ~7.5 ns/elem on TPU).
+    def _boundary_diff(s, zero):
+        hi = s[jnp.maximum(hi_off - 1, 0)]
+        lo = jnp.concatenate([jnp.full((1,), zero, s.dtype), hi[:-1]])
+        lo = jnp.where(lo_off > 0, lo, zero)
+        return hi - lo
+
     if combine in (Combine.OR, Combine.AND):
-        counts_sum = jnp.cumsum(edge_vals.astype(jnp.int32))
-        hi = counts_sum[jnp.maximum(hi_off - 1, 0)]
-        lo = jnp.where(lo_off > 0, counts_sum[jnp.maximum(lo_off - 1, 0)], 0)
-        cnt = jnp.where(nonempty, hi - lo, 0)
+        cnt = _boundary_diff(jnp.cumsum(edge_vals.astype(jnp.int32)), 0)
+        cnt = jnp.where(nonempty, cnt, 0)
         if combine == Combine.OR:
             return cnt > 0
         return nonempty & (cnt == hi_off - lo_off) | ~nonempty  # vacuous True
@@ -117,14 +124,10 @@ def combine_by_offsets(edge_vals: jax.Array, offsets: jax.Array,
         # for rank/flow accumulations, and deterministic).
         if jnp.issubdtype(edge_vals.dtype, jnp.integer) or \
                 edge_vals.dtype == jnp.bool_:
-            s = jnp.cumsum(_to_i32(edge_vals))
-            hi = s[jnp.maximum(hi_off - 1, 0)]
-            lo = jnp.where(lo_off > 0, s[jnp.maximum(lo_off - 1, 0)], 0)
-            return jnp.where(nonempty, hi - lo, 0).astype(edge_vals.dtype)
-        s = jnp.cumsum(edge_vals)
-        hi = s[jnp.maximum(hi_off - 1, 0)]
-        lo = jnp.where(lo_off > 0, s[jnp.maximum(lo_off - 1, 0)], 0.0)
-        return jnp.where(nonempty, hi - lo, 0.0).astype(edge_vals.dtype)
+            out = _boundary_diff(jnp.cumsum(_to_i32(edge_vals)), 0)
+            return jnp.where(nonempty, out, 0).astype(edge_vals.dtype)
+        out = _boundary_diff(jnp.cumsum(edge_vals), 0.0)
+        return jnp.where(nonempty, out, 0.0).astype(edge_vals.dtype)
 
     # MIN / MAX: segmented associative scan with reset flags
     assert seg_flags is not None, "MIN/MAX combine needs segment-start flags"

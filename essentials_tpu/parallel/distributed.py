@@ -2,15 +2,16 @@
 
 The per-superstep recipe (BASELINE.json north star):
   1. all_gather the [Vs]-sharded frontier/value vector over the mesh axis
-     (ICI) -> full [P*Vs] replica per device;
-  2. local gather along the device's own edge block + message compute;
-  3. local sorted segment-combine keyed by locally-owned destinations;
+     (ICI) -> full [Vtot] replica per device;
+  2. local gather-free expansion of the gathered vector along the device's
+     global-src-sorted edge block (telescoping cumsum — same engine as
+     single-chip, ops/segment.py);
+  3. per-device Beneš route into local-dst order + offset-based combine;
   4. psum scalar for convergence.
 Everything lives inside one jitted shard_map while_loop: no host round-trips.
 
-Distributed BFS and PageRank are provided as reference patterns; any
-algorithm written against `essentials_tpu.ops.advance` ports by swapping the
-gather/combine pair.
+Distributed BFS and PageRank are the reference patterns; any advance-based
+algorithm ports by swapping the expansion/combine pair.
 """
 
 from __future__ import annotations
@@ -21,45 +22,58 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from essentials_tpu.ops.configs import Combine
+from essentials_tpu.ops.segment import expand_vertex_to_edges, combine_by_offsets
+from essentials_tpu.ops.permute import apply_plan
 from essentials_tpu.parallel.partition import DistGraph
 
 AXIS = "v"
 
 
-def _specs(mesh: Mesh):
-    shard = P(AXIS)
-    return shard
+def _local(tree):
+    return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+def _spread_local(x_full, soff, route, doff, es, weight=None, use_pallas=False):
+    """Common local step: expand gathered [Vtot] values along the local
+    src-sorted edge axis, optionally scale by edge weight, route to local
+    dst order. Returns dst-ordered per-edge values [Es]."""
+    fe = expand_vertex_to_edges(x_full, soff, es)
+    if weight is not None:
+        fe = fe * weight
+    return apply_plan(fe, route, use_pallas=use_pallas)
 
 
 def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
              max_iterations: int | None = None):
-    """Multi-device BFS. Returns global distances [P*Vs] (UNREACHED=int32 max)."""
+    """Multi-device BFS. Returns global distances [Vtot] (UNREACHED=int32max)."""
     unreached = jnp.iinfo(jnp.int32).max
     vtot = dg.n_vertices_global
+    vs = dg.block_size
+    es = dg.edges_per_device
     max_it = max_iterations or dg.n_vertices + 1
+    use_pallas = jax.default_backend() == "tpu"
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
                        P(AXIS, None), P(AXIS), P(AXIS)),
              out_specs=P(AXIS))
-    def run(src, dstl, evalid, vvalid, dist0, frontier0):
-        src, dstl, evalid, vvalid = (a[0] for a in (src, dstl, evalid, vvalid))
+    def run(soff, doff, route, vvalid, dist0, frontier0):
+        soff, doff, vvalid = soff[0], doff[0], vvalid[0]
+        route_l = _local(route)
 
         def cond(carry):
             dist, frontier, it = carry
-            any_local = jnp.any(frontier)
-            total = jax.lax.psum(any_local.astype(jnp.int32), AXIS)
+            total = jax.lax.psum(jnp.any(frontier).astype(jnp.int32), AXIS)
             return jnp.logical_and(it < max_it,
                                    jnp.logical_or(it == 0, total > 0))
 
         def body(carry):
             dist, frontier, it = carry
-            # 1. exchange: full frontier replica over ICI
             f_full = jax.lax.all_gather(frontier, AXIS, tiled=True)  # [Vtot]
-            # 2. local gather over owned edge block
-            active = (f_full[src] & evalid).astype(jnp.int8)
-            # 3. local combine: any active in-edge -> reached
-            reached = jnp.zeros(dist.shape, jnp.int8).at[dstl].max(active) > 0
+            fe = _spread_local(f_full.astype(jnp.int8), soff, route_l, doff,
+                               es, use_pallas=use_pallas)
+            reached = combine_by_offsets(fe != 0, doff, Combine.OR)[:vs]
             newly = reached & (dist == unreached) & vvalid
             dist = jnp.where(newly, it + 1, dist)
             return dist, newly, it + 1
@@ -69,23 +83,26 @@ def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
 
     dist0 = jnp.full(vtot, unreached, jnp.int32).at[source].set(0)
     frontier0 = jnp.zeros(vtot, jnp.bool_).at[source].set(True)
-    return run(dg.src, dg.dst_local, dg.edge_valid, dg.vertex_valid,
+    return run(dg.src_offsets, dg.dst_offsets, dg.route, dg.vertex_valid,
                dist0, frontier0)
 
 
 def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
                   tol: float = 1e-6, max_iterations: int = 100):
-    """Multi-device PageRank. Returns ranks [P*Vs] (pad slots 0)."""
+    """Multi-device PageRank (unweighted spread). Returns ranks [Vtot]."""
     vtot = dg.n_vertices_global
+    vs = dg.block_size
+    es = dg.edges_per_device
     nv = dg.n_vertices
+    use_pallas = jax.default_backend() == "tpu"
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
                        P(AXIS, None), P(AXIS, None), P(AXIS)),
              out_specs=P(AXIS))
-    def run(src, dstl, evalid, vvalid, odeg, p0):
-        src, dstl, evalid, vvalid, odeg = (
-            a[0] for a in (src, dstl, evalid, vvalid, odeg))
+    def run(soff, doff, route, vvalid, odeg, p0):
+        soff, doff, vvalid, odeg = soff[0], doff[0], vvalid[0], odeg[0]
+        route_l = _local(route)
         odeg_full = jax.lax.all_gather(odeg, AXIS, tiled=True)
 
         def cond(carry):
@@ -96,10 +113,9 @@ def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
             p, _, it = carry
             p_full = jax.lax.all_gather(p, AXIS, tiled=True)
             contrib_full = jnp.where(odeg_full > 0, p_full / odeg_full, 0.0)
-            msg = jnp.where(evalid, contrib_full[src], 0.0)
-            pulled = jax.ops.segment_sum(msg, dstl, num_segments=p.shape[0],
-                                         indices_are_sorted=True)
-            # dangling mass: global sum of ranks at sink vertices
+            msg = _spread_local(contrib_full, soff, route_l, doff, es,
+                                use_pallas=use_pallas)
+            pulled = combine_by_offsets(msg, doff, Combine.SUM)[:vs]
             dangling_local = jnp.sum(jnp.where(vvalid & (odeg == 0), p, 0.0))
             dangling = jax.lax.psum(dangling_local, AXIS)
             base = (1.0 - alpha) / nv + alpha * dangling / nv
@@ -110,7 +126,6 @@ def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
         p, _, _ = jax.lax.while_loop(cond, body, (p0, jnp.inf, 0))
         return p
 
-    p0 = jnp.where(
-        jnp.arange(vtot) < nv, 1.0 / nv, 0.0).astype(jnp.float32)
-    return run(dg.src, dg.dst_local, dg.edge_valid, dg.vertex_valid,
+    p0 = jnp.where(jnp.arange(vtot) < nv, 1.0 / nv, 0.0).astype(jnp.float32)
+    return run(dg.src_offsets, dg.dst_offsets, dg.route, dg.vertex_valid,
                dg.out_degrees, p0)

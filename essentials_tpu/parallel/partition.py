@@ -6,16 +6,18 @@ every operator rejects multi-context, advance.hxx:125-128). Here: a 1-D
 destination-owner edge partition designed for the TPU mesh —
 
 * vertices are split into P contiguous blocks of ``block_size`` (the global
-  padded vertex count becomes P * block_size);
-* each device owns every edge whose *destination* falls in its block — since
-  the framework's combine step is always keyed by destination, each device's
-  segment reduction is purely local;
-* per-superstep communication is one `all_gather` of the [Vs]-sharded
-  frontier/value arrays over the mesh axis (rides ICI), after which every
-  gather is local. Convergence scalars use `psum`.
+  padded vertex count becomes Vtot = P * block_size);
+* each device owns every edge whose *destination* falls in its block, so the
+  per-destination combine is purely local;
+* per-superstep communication is ONE `all_gather` of the [Vs]-sharded
+  frontier/value arrays over the mesh axis (rides ICI);
+* the local compute uses the same gather-free engine as single-chip
+  (ops/segment.py): each device stores its edges in global-src-sorted order
+  (so the gathered vector expands via the telescoping cumsum), a per-device
+  Beneš routing plan into local-dst-sorted order, and local combine offsets.
 
-Edge blocks are padded to the max per-device edge count so the stacked
-arrays are rectangular (static shapes for XLA).
+Edge blocks are padded to the max per-device edge count so all stacked
+arrays (and routing plans) are rectangular.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ def _pad_to(n: int, m: int) -> int:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["src", "dst_local", "weights", "edge_valid",
+         data_fields=["src_offsets", "dst_offsets", "weights", "route",
                       "vertex_valid", "out_degrees"],
          meta_fields=["n_devices", "block_size", "edges_per_device",
                       "n_vertices", "n_edges"])
@@ -50,61 +52,81 @@ class DistGraph:
     n_vertices: int            # real V
     n_edges: int               # real E
 
-    src: jax.Array             # [P, Es] int32 global source ids (pad -> V)
-    dst_local: jax.Array       # [P, Es] int32 local dst in [0, Vs) (pad -> 0)
-    weights: jax.Array         # [P, Es] weight (pad -> 0)
-    edge_valid: jax.Array      # [P, Es] bool
+    src_offsets: jax.Array     # [P, Vtot+1] int32: global-src-sorted offsets
+    dst_offsets: jax.Array     # [P, Vs+2] int32: local-dst offsets (+trash)
+    weights: jax.Array         # [P, Es] in src-sorted order (pad -> 0)
+    route: object              # stacked PermutePlan (src order -> dst order)
     vertex_valid: jax.Array    # [P, Vs] bool (real vertices)
-    out_degrees: jax.Array     # [P, Vs] int32 (global out-degree of owned verts)
+    out_degrees: jax.Array     # [P, Vs] int32 global out-degree of owned verts
 
     @property
     def n_vertices_global(self) -> int:
-        """Total padded vertex axis = P * Vs."""
         return self.n_devices * self.block_size
 
 
 def partition_graph(csr: Csr | Coo, n_devices: int, *,
                     vertex_align: int = 8) -> DistGraph:
-    """1-D destination-owner partition of a host graph."""
+    """1-D destination-owner partition with per-device gather-free layout."""
+    from essentials_tpu.ops.permute import route_permutation
+
     if isinstance(csr, Coo):
         csr = Csr.from_coo(csr)
     v, e = csr.n_rows, csr.nnz
     vs = _pad_to(max(_pad_to(v, n_devices) // n_devices, 1), vertex_align)
+    vtot = n_devices * vs
     coo = csr.to_coo()
     owner = (coo.col_indices // vs).astype(np.int64)
-
     counts = np.bincount(owner, minlength=n_devices)
-    es = max(int(counts.max()), 1)
+    es = _pad_to(max(int(counts.max()), 1), 128)
 
-    src = np.full((n_devices, es), v, dtype=dtypes.vertex_dtype)
-    dstl = np.zeros((n_devices, es), dtype=dtypes.vertex_dtype)
-    w = np.zeros((n_devices, es), dtype=coo.values.dtype)
-    valid = np.zeros((n_devices, es), dtype=bool)
+    src_offsets = np.zeros((n_devices, vtot + 1), dtypes.edge_dtype)
+    dst_offsets = np.zeros((n_devices, vs + 2), dtypes.edge_dtype)
+    weights = np.zeros((n_devices, es), coo.values.dtype)
+    plans = []
 
-    # Sort edges by (owner, dst, src) so per-device segments are sorted.
-    order = np.lexsort((coo.row_indices, coo.col_indices, owner))
-    so, sd, sr, sv = (owner[order], coo.col_indices[order],
-                      coo.row_indices[order], coo.values[order])
+    # src-sorted order within each device
+    o1 = np.lexsort((coo.col_indices, coo.row_indices, owner))
     starts = np.zeros(n_devices + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     for p in range(n_devices):
-        k = counts[p]
-        sl = slice(starts[p], starts[p] + k)
-        src[p, :k] = sr[sl]
-        dstl[p, :k] = sd[sl] - p * vs
-        w[p, :k] = sv[sl]
-        valid[p, :k] = True
+        sl = o1[starts[p]:starts[p + 1]]
+        k = sl.shape[0]
+        s, d, w = coo.row_indices[sl], coo.col_indices[sl] - p * vs, \
+            coo.values[sl]
+        # global-src offsets over the padded local edge axis
+        deg = np.bincount(s, minlength=vtot).astype(np.int64)
+        off = np.zeros(vtot + 1, np.int64)
+        np.cumsum(deg, out=off[1:])
+        src_offsets[p] = off
+        # pad edges [k, es) fall inside the last vertex's segment — their
+        # expanded values flow to the trash dst slot and are discarded
+        src_offsets[p, vtot] = es
+        # local-dst-sorted order + routing plan
+        o2 = np.lexsort((s, d))
+        gather_idx = np.arange(es, dtype=np.int64)
+        gather_idx[:k] = o2
+        plans.append(route_permutation(gather_idx))
+        ddeg = np.bincount(d[o2], minlength=vs).astype(np.int64)
+        doff = np.zeros(vs + 2, np.int64)
+        np.cumsum(ddeg, out=doff[1:vs + 1])
+        doff[vs + 1] = es                  # trash slot absorbs pad edges
+        dst_offsets[p] = doff
+        weights[p, :k] = w
 
-    vidx = np.arange(n_devices * vs).reshape(n_devices, vs)
+    route = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plans)
+
+    vidx = np.arange(vtot).reshape(n_devices, vs)
     vertex_valid = vidx < v
-    deg = np.zeros(n_devices * vs, dtype=dtypes.edge_dtype)
+    deg = np.zeros(vtot, dtypes.edge_dtype)
     deg[:v] = np.diff(csr.row_offsets)
 
     return DistGraph(
         n_devices=n_devices, block_size=vs, edges_per_device=es,
         n_vertices=v, n_edges=e,
-        src=jnp.asarray(src), dst_local=jnp.asarray(dstl),
-        weights=jnp.asarray(w), edge_valid=jnp.asarray(valid),
+        src_offsets=jnp.asarray(src_offsets),
+        dst_offsets=jnp.asarray(dst_offsets),
+        weights=jnp.asarray(weights),
+        route=route,
         vertex_valid=jnp.asarray(vertex_valid),
         out_degrees=jnp.asarray(deg.reshape(n_devices, vs)),
     )

@@ -24,15 +24,17 @@ def mesh8():
 def test_partition_shapes(chesapeake_csr):
     dg = partition_graph(chesapeake_csr, 8)
     assert dg.n_devices == 8
-    assert dg.src.shape == (8, dg.edges_per_device)
-    assert int(dg.edge_valid.sum()) == chesapeake_csr.nnz
-    # every edge's dst owner is its row
-    dst_global = np.asarray(dg.dst_local) + \
-        (np.arange(8) * dg.block_size)[:, None]
-    valid = np.asarray(dg.edge_valid)
-    owners = dst_global[valid] // dg.block_size
-    rows = np.repeat(np.arange(8), valid.sum(axis=1))
-    np.testing.assert_array_equal(owners, rows)
+    assert dg.src_offsets.shape == (8, dg.n_vertices_global + 1)
+    assert dg.dst_offsets.shape == (8, dg.block_size + 2)
+    assert dg.weights.shape == (8, dg.edges_per_device)
+    # per-device edge counts (before padding) sum to the edge total
+    doff = np.asarray(dg.dst_offsets)
+    per_dev = doff[:, dg.block_size]  # edges before the trash slot
+    assert int(per_dev.sum()) == chesapeake_csr.nnz
+    # src offsets are monotone and end at the padded edge count
+    soff = np.asarray(dg.src_offsets)
+    assert np.all(np.diff(soff, axis=1) >= 0)
+    assert np.all(soff[:, -1] == dg.edges_per_device)
 
 
 def test_dist_bfs_matches_single_device(chesapeake_csr, mesh8):
