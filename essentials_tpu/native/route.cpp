@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -96,23 +97,33 @@ void euler_split(const int32_t* u, const int32_t* v, int64_t r,
 
 void color_recursive(const int32_t* u, const int32_t* v, int64_t r,
                      std::vector<int64_t>& subset, int degree, int color_base,
-                     int32_t* colors,
-                     std::vector<int64_t>& adj_off,
-                     std::vector<int64_t>& adj_edge,
-                     std::vector<int64_t>& cursor, std::vector<uint8_t>& used) {
+                     int32_t* colors, int parallel_depth) {
   if (degree == 1) {
     for (int64_t e : subset) colors[e] = color_base;
     return;
   }
   std::vector<int64_t> half0, half1;
-  euler_split(u, v, r, subset, degree, half0, half1,
-              adj_off, adj_edge, cursor, used);
+  {
+    std::vector<int64_t> adj_off, adj_edge, cursor;
+    std::vector<uint8_t> used;
+    euler_split(u, v, r, subset, degree, half0, half1,
+                adj_off, adj_edge, cursor, used);
+  }
   subset.clear();
   subset.shrink_to_fit();
-  color_recursive(u, v, r, half0, degree / 2, color_base, colors,
-                  adj_off, adj_edge, cursor, used);
-  color_recursive(u, v, r, half1, degree / 2, color_base + degree / 2, colors,
-                  adj_off, adj_edge, cursor, used);
+  if (parallel_depth > 0) {
+    std::thread t0([&, degree, color_base] {
+      color_recursive(u, v, r, half0, degree / 2, color_base, colors,
+                      parallel_depth - 1);
+    });
+    color_recursive(u, v, r, half1, degree / 2, color_base + degree / 2,
+                    colors, parallel_depth - 1);
+    t0.join();
+  } else {
+    color_recursive(u, v, r, half0, degree / 2, color_base, colors, 0);
+    color_recursive(u, v, r, half1, degree / 2, color_base + degree / 2,
+                    colors, 0);
+  }
 }
 
 }  // namespace
@@ -125,10 +136,10 @@ int etpu_edge_color(int64_t n_edges, int64_t n_left, int32_t degree,
   if (n_edges != n_left * (int64_t)degree) return 2;
   std::vector<int64_t> subset(n_edges);
   for (int64_t e = 0; e < n_edges; ++e) subset[e] = e;
-  std::vector<int64_t> adj_off, adj_edge, cursor;
-  std::vector<uint8_t> used;
-  color_recursive(u, v, n_left, subset, degree, 0, colors_out,
-                  adj_off, adj_edge, cursor, used);
+  int hw = (int)std::thread::hardware_concurrency();
+  int pdepth = 0;
+  while ((1 << (pdepth + 1)) <= hw && pdepth < 4) ++pdepth;
+  color_recursive(u, v, n_left, subset, degree, 0, colors_out, pdepth);
   return 0;
 }
 
