@@ -59,7 +59,8 @@ class GraphProperties:
                       "csc_offsets", "csc_src_indices", "csc_dst_indices",
                       "csc_values", "csc_edge_ids",
                       "csc_rank", "csc_seg_flags", "csr_seg_flags",
-                      "route_fwd", "route_bwd"],
+                      "route_fwd", "route_bwd",
+                      "off_route_csr", "off_route_csc"],
          meta_fields=["n_vertices", "n_edges", "n_vertices_padded",
                       "n_edges_padded", "properties"])
 @dataclass(frozen=True)
@@ -91,6 +92,8 @@ class Graph:
     csr_seg_flags: jax.Array | None    # [Ep] bool: src-segment starts (CSR)
     route_fwd: object | None           # PermutePlan CSR->CSC (Benes router)
     route_bwd: object | None           # PermutePlan CSC->CSR
+    off_route_csr: object | None       # OffsetsRoute over row_offsets
+    off_route_csc: object | None       # OffsetsRoute over csc_offsets
 
     # ------------------------------------------------------------------ #
     @property
@@ -180,7 +183,8 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
 
     kw = {"csc_rank": None, "csc_seg_flags": None,
           "csr_seg_flags": jnp.asarray(csr_flags),
-          "route_fwd": None, "route_bwd": None}
+          "route_fwd": None, "route_bwd": None,
+          "off_route_csr": None, "off_route_csc": None}
     if build_csc:
         order = np.lexsort((src[:e], col[:e]))
         csc_src = np.full(ep, pad_v, dtypes.vertex_dtype)
@@ -218,13 +222,15 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
         if want_router is None:
             want_router = jax.default_backend() == "tpu"
         if want_router:
-            from essentials_tpu.ops.permute import route_permutation
+            from essentials_tpu.ops.permute import (route_permutation,
+                                                    invert_plan)
+            from essentials_tpu.ops.segment import build_offsets_route
             full_eids = np.arange(ep, dtype=np.int64)
             full_eids[:e] = order
             kw["route_fwd"] = route_permutation(full_eids)
-            rank_full = np.arange(ep, dtype=np.int64)
-            rank_full[order] = np.arange(e, dtype=np.int64)
-            kw["route_bwd"] = route_permutation(rank_full)
+            kw["route_bwd"] = invert_plan(kw["route_fwd"])
+            kw["off_route_csr"] = build_offsets_route(row_offsets, ep)
+            kw["off_route_csc"] = build_offsets_route(csc_off, ep)
     else:
         kw.update(csc_offsets=None, csc_src_indices=None, csc_dst_indices=None,
                   csc_values=None, csc_edge_ids=None)

@@ -13,6 +13,11 @@
 // coloring with D colors (every color class is a perfect matching). D must
 // be a power of two: recursively split Eulerian circuits into halves.
 //
+// Implementation notes (host-preprocessing hot path; measured on the 2-vCPU
+// build hosts): edges are carried as dense (u, v, id) int32 triples that are
+// compacted per half at every split, so each level's adjacency build is a
+// sequential pass and the only random traffic is the Euler walk itself.
+//
 // C ABI:
 //   int etpu_edge_color(int64 n_edges, int64 n_left, int32 degree,
 //                       const int32* u, const int32* v, int32* colors_out)
@@ -25,104 +30,88 @@
 
 namespace {
 
-// One Euler-split level: partition the edge subset into two halves such that
-// every node's incident edges split evenly. Edges alternate direction along
-// Eulerian circuits; we assign by traversal direction (left->right = 0).
-//
-// adjacency is rebuilt per call over the subset. Nodes: left 0..R-1 mapped
-// to 0..R-1, right 0..R-1 mapped to R..2R-1.
-void euler_split(const int32_t* u, const int32_t* v, int64_t r,
-                 const std::vector<int64_t>& subset, int degree,
-                 std::vector<int64_t>& half0, std::vector<int64_t>& half1,
-                 // scratch reused across calls:
-                 std::vector<int64_t>& adj_off, std::vector<int64_t>& adj_edge,
-                 std::vector<int64_t>& cursor, std::vector<uint8_t>& used) {
-  const int64_t n_nodes = 2 * r;
-  const int64_t m = (int64_t)subset.size();
+struct EdgeSet {
+  // Dense per-subset edge arrays; w[k] encodes the ORIGINAL edge id so the
+  // final color write needs no indirection chain.
+  std::vector<int32_t> u, v, id;
+  size_t size() const { return u.size(); }
+};
 
-  adj_off.assign(n_nodes + 1, 0);
+// One Euler-split level over a D-regular subset: partition into two halves
+// such that every node's incident edges split evenly. Bipartite circuits
+// alternate direction strictly; traversal direction assigns the half.
+void euler_split(int64_t r, EdgeSet& es, int degree,
+                 EdgeSet& half0, EdgeSet& half1) {
+  const int64_t n_nodes = 2 * r;
+  const int64_t m = (int64_t)es.size();
+  const int32_t* u = es.u.data();
+  const int32_t* v = es.v.data();
+
+  // CSR-style adjacency over the subset (sequential build passes).
+  std::vector<int32_t> adj_off(n_nodes + 1, 0);
   for (int64_t k = 0; k < m; ++k) {
-    int64_t e = subset[k];
-    adj_off[u[e] + 1]++;
-    adj_off[(int64_t)v[e] + r + 1]++;
+    adj_off[u[k] + 1]++;
+    adj_off[(int64_t)v[k] + r + 1]++;
   }
   for (int64_t i = 0; i < n_nodes; ++i) adj_off[i + 1] += adj_off[i];
-  adj_edge.resize(2 * m);
-  cursor.assign(adj_off.begin(), adj_off.end() - 1);
+  std::vector<int32_t> adj_edge(2 * m);
+  std::vector<int32_t> cursor(adj_off.begin(), adj_off.end() - 1);
   for (int64_t k = 0; k < m; ++k) {
-    int64_t e = subset[k];
-    adj_edge[cursor[u[e]]++] = k;
-    adj_edge[cursor[(int64_t)v[e] + r]++] = k;
+    adj_edge[cursor[u[k]]++] = (int32_t)k;
+    adj_edge[cursor[(int64_t)v[k] + r]++] = (int32_t)k;
   }
-  // reset cursors to walk each node's list once
   cursor.assign(adj_off.begin(), adj_off.end() - 1);
-  used.assign(m, 0);
+  std::vector<uint8_t> used(m, 0);
 
-  half0.clear();
-  half1.clear();
-  half0.reserve(m / 2);
-  half1.reserve(m / 2);
+  half0.u.reserve(m / 2); half0.v.reserve(m / 2); half0.id.reserve(m / 2);
+  half1.u.reserve(m / 2); half1.v.reserve(m / 2); half1.id.reserve(m / 2);
 
-  // Hierholzer-lite: every node has even degree, so greedy trail-following
-  // from any unused edge closes a circuit; alternate directions assign
-  // halves. Start each walk on a LEFT node going left->right (= half0);
-  // bipartite circuits alternate strictly, so each node splits evenly.
   for (int64_t k0 = 0; k0 < m; ++k0) {
     if (used[k0]) continue;
     int64_t k = k0;
-    // walk forward: left->right edge goes to half0, then from the right
-    // node take any unused edge back (right->left, half1), etc.
-    bool forward = true;  // we are about to traverse edge k left->right
+    bool forward = true;  // about to traverse edge k left->right (= half0)
     while (true) {
       used[k] = 1;
-      int64_t e = subset[k];
       int64_t next_node;
       if (forward) {
-        half0.push_back(e);
-        next_node = (int64_t)v[e] + r;  // now at the right endpoint
+        half0.u.push_back(u[k]); half0.v.push_back(v[k]);
+        half0.id.push_back(es.id[k]);
+        next_node = (int64_t)v[k] + r;
       } else {
-        half1.push_back(e);
-        next_node = u[e];               // back at a left endpoint
+        half1.u.push_back(u[k]); half1.v.push_back(v[k]);
+        half1.id.push_back(es.id[k]);
+        next_node = u[k];
       }
-      // find next unused incident edge at next_node
-      int64_t& cur = cursor[next_node];
-      const int64_t end = adj_off[next_node + 1];
+      int32_t& cur = cursor[next_node];
+      const int32_t end = adj_off[next_node + 1];
       while (cur < end && used[adj_edge[cur]]) ++cur;
-      if (cur >= end) break;            // circuit closed
+      if (cur >= end) break;  // circuit closed
       k = adj_edge[cur];
       forward = !forward;
     }
   }
 }
 
-void color_recursive(const int32_t* u, const int32_t* v, int64_t r,
-                     std::vector<int64_t>& subset, int degree, int color_base,
+void color_recursive(int64_t r, EdgeSet& es, int degree, int color_base,
                      int32_t* colors, int parallel_depth) {
   if (degree == 1) {
-    for (int64_t e : subset) colors[e] = color_base;
+    for (size_t k = 0; k < es.size(); ++k) colors[es.id[k]] = color_base;
     return;
   }
-  std::vector<int64_t> half0, half1;
-  {
-    std::vector<int64_t> adj_off, adj_edge, cursor;
-    std::vector<uint8_t> used;
-    euler_split(u, v, r, subset, degree, half0, half1,
-                adj_off, adj_edge, cursor, used);
-  }
-  subset.clear();
-  subset.shrink_to_fit();
+  EdgeSet half0, half1;
+  euler_split(r, es, degree, half0, half1);
+  { EdgeSet tmp; std::swap(tmp, es); }  // free before recursing
   if (parallel_depth > 0) {
     std::thread t0([&, degree, color_base] {
-      color_recursive(u, v, r, half0, degree / 2, color_base, colors,
+      color_recursive(r, half0, degree / 2, color_base, colors,
                       parallel_depth - 1);
     });
-    color_recursive(u, v, r, half1, degree / 2, color_base + degree / 2,
-                    colors, parallel_depth - 1);
+    color_recursive(r, half1, degree / 2, color_base + degree / 2, colors,
+                    parallel_depth - 1);
     t0.join();
   } else {
-    color_recursive(u, v, r, half0, degree / 2, color_base, colors, 0);
-    color_recursive(u, v, r, half1, degree / 2, color_base + degree / 2,
-                    colors, 0);
+    color_recursive(r, half0, degree / 2, color_base, colors, 0);
+    color_recursive(r, half1, degree / 2, color_base + degree / 2, colors, 0);
   }
 }
 
@@ -134,12 +123,16 @@ int etpu_edge_color(int64_t n_edges, int64_t n_left, int32_t degree,
                     const int32_t* u, const int32_t* v, int32_t* colors_out) {
   if (degree <= 0 || (degree & (degree - 1)) != 0) return 1;  // power of 2
   if (n_edges != n_left * (int64_t)degree) return 2;
-  std::vector<int64_t> subset(n_edges);
-  for (int64_t e = 0; e < n_edges; ++e) subset[e] = e;
+  if (n_edges > INT32_MAX) return 3;
+  EdgeSet es;
+  es.u.assign(u, u + n_edges);
+  es.v.assign(v, v + n_edges);
+  es.id.resize(n_edges);
+  for (int64_t e = 0; e < n_edges; ++e) es.id[e] = (int32_t)e;
   int hw = (int)std::thread::hardware_concurrency();
   int pdepth = 0;
   while ((1 << (pdepth + 1)) <= hw && pdepth < 4) ++pdepth;
-  color_recursive(u, v, n_left, subset, degree, 0, colors_out, pdepth);
+  color_recursive(n_left, es, degree, 0, colors_out, pdepth);
   return 0;
 }
 

@@ -32,8 +32,31 @@ from essentials_tpu.errors import throw_if
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops.configs import Combine, AdvanceIO
 from essentials_tpu.ops.segment import (
-    combine_identity, combine_by_offsets, expand_vertex_to_edges,
-    apply_permutation)
+    combine_identity, combine_by_offsets, combine_by_offsets_routed,
+    expand_vertex_to_edges, expand_multi_routed, apply_permutation)
+
+
+def _expand_src_multi(g: Graph, vals):
+    """Expand src-keyed vertex arrays to the CSR edge axis."""
+    if g.off_route_csr is not None:
+        return expand_multi_routed(tuple(vals), g.off_route_csr)
+    return tuple(expand_vertex_to_edges(v, g.row_offsets, g.n_edges_padded)
+                 for v in vals)
+
+
+def _expand_dst(g: Graph, v):
+    """Expand a dst-keyed vertex array to the CSC edge axis."""
+    if g.off_route_csc is not None:
+        return expand_multi_routed((v,), g.off_route_csc)[0]
+    return expand_vertex_to_edges(v, g.csc_offsets, g.n_edges_padded)
+
+
+def _combine_dst(g: Graph, msg, combine: Combine):
+    """Segmented combine per destination (CSC order)."""
+    if g.off_route_csc is not None:
+        return combine_by_offsets_routed(msg, g.off_route_csc, combine,
+                                         g.csc_seg_flags)
+    return combine_by_offsets(msg, g.csc_offsets, combine, g.csc_seg_flags)
 
 
 @dataclass(frozen=True)
@@ -56,21 +79,22 @@ def _expand_and_route(g: Graph, frontier, input_kind: AdvanceIO,
     throw_if(not g.has_csc, "advance requires the CSC (dst-sorted) view")
     ep = g.n_edges_padded
 
-    payloads = []
-    for v in src_values:
-        payloads.append(expand_vertex_to_edges(v, g.row_offsets, ep))
-
+    to_expand = list(src_values)
     static_active = None
+    edge_payload = None
     if input_kind == AdvanceIO.GRAPH or frontier is None:
         # all real edges active; in CSC order pad edges sort last -> static
         static_active = jnp.arange(ep) < g.n_edges
     elif input_kind == AdvanceIO.VERTICES:
-        payloads.append(
-            expand_vertex_to_edges(frontier.astype(jnp.int8), g.row_offsets, ep))
+        to_expand.append(frontier.astype(jnp.int8))
     elif input_kind == AdvanceIO.EDGES:
-        payloads.append(frontier.astype(jnp.int8))  # already per-edge (CSR)
+        edge_payload = frontier.astype(jnp.int8)    # already per-edge (CSR)
     else:
         raise ValueError(input_kind)
+
+    payloads = list(_expand_src_multi(g, to_expand)) if to_expand else []
+    if edge_payload is not None:
+        payloads.append(edge_payload)
 
     if payloads:
         if g.route_fwd is not None:
@@ -107,8 +131,7 @@ def advance_multi(g: Graph,
     built from every message's cond — cond=None means "active edges fire").
     """
     active, src_vals = _expand_and_route(g, frontier, input_kind, src_values)
-    dst_vals = tuple(expand_vertex_to_edges(v, g.csc_offsets, g.n_edges_padded)
-                     for v in dst_values)
+    dst_vals = tuple(_expand_dst(g, v) for v in dst_values)
     edges = Edges(src=g.csc_src_indices, dst=g.csc_dst_indices,
                   eid=g.csc_edge_ids, weight=g.csc_values, active=active,
                   src_vals=src_vals, dst_vals=dst_vals)
@@ -121,14 +144,13 @@ def advance_multi(g: Graph,
         msg = jnp.broadcast_to(jnp.asarray(msg), active.shape)
         ident = combine_identity(combine, msg.dtype)
         msg = jnp.where(active, msg, ident)
-        outs.append(combine_by_offsets(msg, g.csc_offsets, combine,
-                                       g.csc_seg_flags))
+        outs.append(_combine_dst(g, msg, combine))
         if with_frontier:
             fired = active if cond is None else (active & cond)
             fired_any = fired if fired_any is None else (fired_any | fired)
 
     if with_frontier:
-        out_frontier = combine_by_offsets(fired_any, g.csc_offsets, Combine.OR)
+        out_frontier = _combine_dst(g, fired_any, Combine.OR)
         out_frontier = out_frontier & g.vertex_mask()
         return outs, out_frontier
     return outs
@@ -170,8 +192,7 @@ def advance_edges(g: Graph,
     edge-frontier algorithms (MST) — frontier_kind_t::edge_frontier parity.
     """
     active, src_vals = _expand_and_route(g, frontier, input_kind, src_values)
-    dst_vals = tuple(expand_vertex_to_edges(v, g.csc_offsets, g.n_edges_padded)
-                     for v in dst_values)
+    dst_vals = tuple(_expand_dst(g, v) for v in dst_values)
     edges = Edges(src=g.csc_src_indices, dst=g.csc_dst_indices,
                   eid=g.csc_edge_ids, weight=g.csc_values, active=active,
                   src_vals=src_vals, dst_vals=dst_vals)

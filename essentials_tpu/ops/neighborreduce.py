@@ -17,11 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from essentials_tpu.graph.graph import Graph
-from essentials_tpu.ops.advance import Edges
+from essentials_tpu.ops.advance import Edges, _expand_src_multi
 from essentials_tpu.ops.configs import Combine
 from essentials_tpu.ops.segment import (
-    combine_identity, combine_by_offsets, expand_vertex_to_edges,
-    apply_permutation)
+    combine_identity, combine_by_offsets, combine_by_offsets_routed,
+    expand_vertex_to_edges, expand_multi_routed, apply_permutation)
 
 
 def neighbor_reduce(g: Graph, message_fn: Callable, *,
@@ -36,11 +36,14 @@ def neighbor_reduce(g: Graph, message_fn: Callable, *,
     index vertex arrays inside the closure (slow gather lowering).
     """
     ep = g.n_edges_padded
-    src_vals = tuple(expand_vertex_to_edges(v, g.row_offsets, ep)
-                     for v in src_values)
+    src_vals = _expand_src_multi(g, tuple(src_values))
     if dst_values:
-        expanded = [expand_vertex_to_edges(v, g.csc_offsets, ep)
-                    for v in dst_values]
+        if g.off_route_csc is not None:
+            expanded = list(expand_multi_routed(tuple(dst_values),
+                                                g.off_route_csc))
+        else:
+            expanded = [expand_vertex_to_edges(v, g.csc_offsets, ep)
+                        for v in dst_values]
         if g.route_bwd is not None:
             from essentials_tpu.ops.permute import apply_plan_multi
             dst_vals = apply_plan_multi(tuple(expanded), g.route_bwd)
@@ -58,4 +61,7 @@ def neighbor_reduce(g: Graph, message_fn: Callable, *,
     vals = jnp.broadcast_to(jnp.asarray(vals), (ep,))
     ident = combine_identity(combine, vals.dtype)
     vals = jnp.where(edges.active, vals, ident)
+    if g.off_route_csr is not None:
+        return combine_by_offsets_routed(vals, g.off_route_csr, combine,
+                                         g.csr_seg_flags)
     return combine_by_offsets(vals, g.row_offsets, combine, g.csr_seg_flags)

@@ -131,13 +131,16 @@ def _route_np(perm: np.ndarray) -> dict:
 
 
 def _to_plan(d: dict, batch: int, length: int) -> PermutePlan:
+    # Every stage is a within-row gather of width <= 128, so all indices fit
+    # int8 — 4x less plan data to ship through slow host->TPU links.
     if "leaf" in d:
         return PermutePlan(idx1=None, idx3=None,
-                           leaf_idx=jnp.asarray(d["leaf"]),
+                           leaf_idx=jnp.asarray(d["leaf"].astype(np.int8)),
                            batch=batch, rows=0, length=length, mid=None)
     idx1 = d["idx1"]
     B, R, C = idx1.shape
-    return PermutePlan(idx1=jnp.asarray(idx1), idx3=jnp.asarray(d["idx3"]),
+    return PermutePlan(idx1=jnp.asarray(idx1.astype(np.int8)),
+                       idx3=jnp.asarray(d["idx3"].astype(np.int8)),
                        leaf_idx=None, batch=B, rows=R, length=R * C,
                        mid=_to_plan(d["mid"], B * C, R))
 
@@ -155,6 +158,32 @@ def routable_length(n: int) -> int:
     if n <= LANES ** 4:
         return up(n, LANES ** 3)
     raise ValueError(f"permutation too large to route: {n}")
+
+
+def invert_plan(plan: PermutePlan) -> PermutePlan:
+    """Host-side inverse: apply_plan(apply_plan(x, p), invert_plan(p)) == x.
+
+    A Clos node (stage1 -> transpose -> mid -> transpose -> stage3) inverts
+    to (stage3^-1 -> transpose -> mid^-1 -> transpose -> stage1^-1); each
+    stage is a batch of independent row permutations, inverted by scatter.
+    """
+    def inv_rows(idx):
+        idx = np.asarray(idx)
+        flat = idx.reshape(-1, idx.shape[-1])
+        out = np.empty_like(flat)
+        ar = np.arange(flat.shape[-1], dtype=flat.dtype)
+        rows = np.arange(flat.shape[0])[:, None]
+        out[rows, flat] = ar[None, :]
+        return jnp.asarray(out.reshape(idx.shape))
+
+    if plan.leaf_idx is not None:
+        return PermutePlan(idx1=None, idx3=None,
+                           leaf_idx=inv_rows(plan.leaf_idx),
+                           batch=plan.batch, rows=plan.rows,
+                           length=plan.length, mid=None)
+    return PermutePlan(idx1=inv_rows(plan.idx3), idx3=inv_rows(plan.idx1),
+                       leaf_idx=None, batch=plan.batch, rows=plan.rows,
+                       length=plan.length, mid=invert_plan(plan.mid))
 
 
 def route_permutation(gather_idx: np.ndarray) -> PermutePlan:
@@ -182,7 +211,8 @@ def _pallas_rowgather(x2: jax.Array, idx2: jax.Array) -> jax.Array:
     rows, w = x2.shape
 
     def kernel(idx_ref, x_ref, out_ref):
-        out_ref[:, :] = jnp.take_along_axis(x_ref[:, :], idx_ref[:, :], axis=1)
+        idx = idx_ref[:, :].astype(jnp.int32)   # plans ship int8 indices
+        out_ref[:, :] = jnp.take_along_axis(x_ref[:, :], idx, axis=1)
 
     tr = min(_ROW_TILE, rows)
     while rows % tr:

@@ -1,0 +1,232 @@
+"""Pallas scan kernels: bandwidth-rate cumsum and segmented scans.
+
+XLA's cumsum lowering on TPU runs ~40x off HBM roofline (measured 0.4 ms
+for 2M int32 on v5e = 20 GB/s), and `lax.associative_scan` pays the same
+multi-pass tax. These kernels stream the array once through VMEM with a
+carry held in scratch across the (sequential) TPU grid:
+
+  block: [R, 128] tile -> 7 masked lane rolls (log-step inclusive scan)
+         -> sublane log-step scan of row summaries -> add row prefixes
+  grid:  carry scalar(s) in SMEM link consecutive blocks.
+
+Everything is exact for int32 (wrap-around arithmetic — required by the
+telescoping expansion in ops/segment.py) and deterministic for float32.
+
+Segmented variants scan (value, start_flag) pairs with the standard
+associative operator  (v1,f1)·(v2,f2) = (f2 ? v2 : op(v1,v2), f1|f2),
+giving per-segment inclusive MIN/MAX/SUM without materializing segment ids.
+
+Reference parity: replaces CUB BlockScan + cub::DeviceScan use inside the
+reference's advance kernels (block_mapped.hxx:84-87) at the whole-edge-axis
+level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_ROWS = 512                      # rows per grid block (R*128 elems, 256 KB f32)
+_INTERPRET = False               # set True in tests to run kernels on CPU
+
+
+def _op_fn(op: str):
+    # "first" (keep the older value) is associative; with a segment-start
+    # flag at position 0 it implements forward-fill over runs.
+    return {"add": jnp.add, "min": jnp.minimum, "max": jnp.maximum,
+            "first": lambda a, b: a}[op]
+
+
+def _ident(op: str, dtype):
+    dt = jnp.dtype(dtype)
+    if op in ("add", "first"):
+        return dt.type(0)
+    if jnp.issubdtype(dt, jnp.floating):
+        return dt.type(jnp.inf if op == "min" else -jnp.inf)
+    ii = jnp.iinfo(dt)
+    return dt.type(ii.max if op == "min" else ii.min)
+
+
+def _shift_lanes(x, k, fill):
+    """Shift right by k along the lane axis, filling with `fill`."""
+    r = pltpu.roll(x, k, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < k, fill, r)
+
+
+def _shift_rows(x, k, fill):
+    r = pltpu.roll(x, k, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < k, fill, r)
+
+
+def _pair_combine(op, v, f, pv, pf):
+    """Apply prefix pair (pv, pf) to inclusive-local (v, f): segmented.
+
+    Flags are int32 0/1 (Mosaic cannot roll i1 vectors)."""
+    return jnp.where(f > 0, v, op(pv, v)), f | pf
+
+
+def _block_scan(v, f, op, ident, segmented):
+    """Inclusive (segmented) scan of a [R, 128] block; ``f`` int32 0/1.
+
+    Returns (scanned values, inclusive flag-OR, block summary pair)."""
+    rows = v.shape[0]
+    zero = jnp.zeros((), jnp.int32)
+    k = 1
+    while k < LANES:
+        sv = _shift_lanes(v, k, ident)
+        if segmented:
+            sf = _shift_lanes(f, k, zero)
+            v = jnp.where(f > 0, v, op(sv, v))
+            f = f | sf
+        else:
+            v = op(sv, v)
+        k *= 2
+    # row summaries: last lane of each row
+    rv = v[:, LANES - 1:LANES]                          # [R, 1]
+    rf = f[:, LANES - 1:LANES] if segmented else None
+    # exclusive scan over rows of the summary pairs
+    pv = _shift_rows(rv, 1, ident)
+    pf = _shift_rows(rf, 1, zero) if segmented else None
+    k = 1
+    while k < rows:
+        sv = _shift_rows(pv, k, ident)
+        if segmented:
+            sf = _shift_rows(pf, k, zero)
+            pv = jnp.where(pf > 0, pv, op(sv, pv))
+            pf = pf | sf
+        else:
+            pv = op(sv, pv)
+        k *= 2
+    if segmented:
+        out = jnp.where(f > 0, v, op(pv, v))
+        out_f = f | pf
+        sum_v = jnp.where(rf[-1:] > 0, rv[-1:], op(pv[-1:], rv[-1:]))
+        sum_f = rf[-1:] | pf[-1:]
+        return out, out_f, (sum_v[0, 0], sum_f[0, 0])
+    out = op(pv, v)
+    return out, None, (op(pv[-1:, :], rv[-1:, :])[0, 0], None)
+
+
+def _scan_kernel(op_name, segmented, x_ref, *rest):
+    if segmented:
+        f_ref, o_ref, carry_v, carry_f = rest
+    else:
+        o_ref, carry_v = rest
+        carry_f = None
+
+    op = _op_fn(op_name)
+    dt = x_ref.dtype
+    ident = _ident(op_name, dt)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_v[0] = ident
+        if segmented:
+            carry_f[0] = jnp.zeros((), jnp.int32)
+
+    v = x_ref[:, :]
+    if segmented:
+        f = f_ref[:, :].astype(jnp.int32)
+        sv, sf, (bv, bf) = _block_scan(v, f, op, ident, True)
+        cv, cf = carry_v[0], carry_f[0]
+        out, _ = _pair_combine(op, sv, sf, cv, cf)
+        o_ref[:, :] = out
+        nbv, nbf = _pair_combine(op, bv, bf, cv, cf)
+        carry_v[0] = nbv
+        carry_f[0] = nbf
+    else:
+        sv, _, (bv, _) = _block_scan(v, None, op, ident, False)
+        cv = carry_v[0]
+        o_ref[:, :] = op(sv, cv)
+        carry_v[0] = op(bv, cv)
+
+
+def _pad_rows(n):
+    rows = pl.cdiv(n, LANES)
+    brows = min(_ROWS, rows)
+    grid = pl.cdiv(rows, brows)
+    return grid * brows * LANES, brows, grid
+
+
+@partial(jax.jit, static_argnames=("op",))
+def scan_1d(x: jax.Array, op: str = "add") -> jax.Array:
+    """Inclusive scan of a 1-D array (int32/float32), exact wrap-around."""
+    n = x.shape[0]
+    np_, brows, grid = _pad_rows(n)
+    ident = _ident(op, x.dtype)
+    xp = jnp.pad(x, (0, np_ - n), constant_values=ident) if np_ != n else x
+    x2 = xp.reshape(-1, LANES)
+    out = pl.pallas_call(
+        partial(_scan_kernel, op, False),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((brows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((brows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        scratch_shapes=[pltpu.SMEM((1,), x.dtype)],
+        interpret=_INTERPRET,
+    )(x2)
+    return out.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("op",))
+def segmented_scan_1d(x: jax.Array, flags: jax.Array, op: str):
+    """Inclusive per-segment scan; ``flags`` marks segment starts (position
+    0 always implicitly starts a segment)."""
+    n = x.shape[0]
+    np_, brows, grid = _pad_rows(n)
+    ident = _ident(op, x.dtype)
+    xp = jnp.pad(x, (0, np_ - n), constant_values=ident) if np_ != n else x
+    # position 0 implicitly starts a segment (nothing precedes it; required
+    # for the "first" op, where the identity is not neutral)
+    fp = flags.astype(jnp.int8).at[0].set(1)
+    if np_ != n:
+        fp = jnp.pad(fp, (0, np_ - n), constant_values=1)
+    x2 = xp.reshape(-1, LANES)
+    f2 = fp.reshape(-1, LANES)
+    spec = pl.BlockSpec((brows, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        partial(_scan_kernel, op, True),
+        grid=(grid,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        scratch_shapes=[pltpu.SMEM((1,), x.dtype),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=_INTERPRET,
+    )(x2, f2)
+    return res.reshape(-1)[:n]
+
+
+def cumsum(x: jax.Array) -> jax.Array:
+    """Drop-in inclusive cumsum; Pallas on TPU, jnp elsewhere."""
+    if jax.default_backend() == "tpu" and x.ndim == 1 and \
+            x.dtype in (jnp.int32, jnp.float32) and x.shape[0] >= LANES:
+        return scan_1d(x, "add")
+    return jnp.cumsum(x)
+
+
+def segmented_scan(x: jax.Array, flags: jax.Array, op: str) -> jax.Array:
+    """Segmented inclusive scan; Pallas on TPU, associative_scan elsewhere."""
+    if jax.default_backend() == "tpu" and x.ndim == 1 and \
+            x.dtype in (jnp.int32, jnp.float32) and x.shape[0] >= LANES:
+        return segmented_scan_1d(x, flags, op)
+    opf = _op_fn(op)
+    flags = flags.at[0].set(True)
+
+    def scan_op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, opf(av, bv)), af | bf
+
+    sv, _ = jax.lax.associative_scan(scan_op, (x, flags))
+    return sv

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from essentials_tpu.ops.configs import Combine
+from essentials_tpu.ops.scan_kernels import cumsum as _cumsum
+from essentials_tpu.ops.scan_kernels import segmented_scan as _segscan
 
 
 def combine_identity(combine: Combine, dtype):
@@ -82,7 +84,7 @@ def expand_vertex_to_edges(vertex_vals: jax.Array, offsets: jax.Array,
     iv = _to_i32(vertex_vals)
     d = jnp.diff(iv, prepend=jnp.zeros(1, jnp.int32))
     z = jnp.zeros(n_edges_padded + 1, jnp.int32).at[offsets[:-1]].add(d)
-    return _from_i32(jnp.cumsum(z)[:n_edges_padded], vertex_vals.dtype)
+    return _from_i32(_cumsum(z[:n_edges_padded]), vertex_vals.dtype)
 
 
 def apply_permutation(rank: jax.Array, *payloads: jax.Array):
@@ -112,7 +114,7 @@ def combine_by_offsets(edge_vals: jax.Array, offsets: jax.Array,
         return hi - lo
 
     if combine in (Combine.OR, Combine.AND):
-        cnt = _boundary_diff(jnp.cumsum(edge_vals.astype(jnp.int32)), 0)
+        cnt = _boundary_diff(_cumsum(edge_vals.astype(jnp.int32)), 0)
         cnt = jnp.where(nonempty, cnt, 0)
         if combine == Combine.OR:
             return cnt > 0
@@ -124,24 +126,184 @@ def combine_by_offsets(edge_vals: jax.Array, offsets: jax.Array,
         # for rank/flow accumulations, and deterministic).
         if jnp.issubdtype(edge_vals.dtype, jnp.integer) or \
                 edge_vals.dtype == jnp.bool_:
-            out = _boundary_diff(jnp.cumsum(_to_i32(edge_vals)), 0)
+            out = _boundary_diff(_cumsum(_to_i32(edge_vals)), 0)
             return jnp.where(nonempty, out, 0).astype(edge_vals.dtype)
-        out = _boundary_diff(jnp.cumsum(edge_vals), 0.0)
+        out = _boundary_diff(_cumsum(edge_vals.astype(jnp.float32)), 0.0)
         return jnp.where(nonempty, out, 0.0).astype(edge_vals.dtype)
 
-    # MIN / MAX: segmented associative scan with reset flags
+    # MIN / MAX: segmented scan with reset flags (Pallas kernel on TPU)
     assert seg_flags is not None, "MIN/MAX combine needs segment-start flags"
     ident = combine_identity(combine, edge_vals.dtype)
-    op = jnp.minimum if combine == Combine.MIN else jnp.maximum
-
-    def scan_op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, op(av, bv)), af | bf
-
-    sv, _ = jax.lax.associative_scan(scan_op, (edge_vals, seg_flags))
+    opname = "min" if combine == Combine.MIN else "max"
+    dt = edge_vals.dtype
+    carrier = edge_vals
+    if dt not in (jnp.int32, jnp.float32):
+        carrier = carrier.astype(jnp.float32
+                                 if jnp.issubdtype(dt, jnp.floating)
+                                 else jnp.int32)
+    sv = _segscan(carrier, seg_flags, opname).astype(dt)
     out = sv[jnp.maximum(hi_off - 1, 0)]
     return jnp.where(nonempty, out, ident)
+
+
+# --------------------------------------------------------------------- #
+# Routed offsets engine: Benes-planned V<->E movement
+#
+# The V-sized arbitrary scatter in expand_vertex_to_edges and the V-sized
+# boundary gather in combine_by_offsets each cost ~7.5 ns/element on TPU
+# (element-serialized lowering) — ~2 ms at V=256K, dominating a superstep.
+# Both touch the SAME static index set: the segment offsets. One Benes plan
+# π (slot w <-> edge position offsets[w]) replaces both:
+#   scatter:  route the [L] carrier holding per-vertex diffs at slots w
+#             forward through π, then cumsum            (expand)
+#   gather:   route the exclusive prefix array backward through π^-1 and
+#             read slots 0..n_seg                       (combine boundaries)
+# Duplicate offsets (empty segments) are folded on the (cheap) vertex axis:
+# diffs are pre-summed per run before routing, and gathered boundaries are
+# forward-filled over runs afterwards.
+
+from dataclasses import dataclass
+from functools import partial as _partial
+
+import numpy as np
+
+from essentials_tpu.ops.scan_kernels import segmented_scan as _segscan2
+
+
+@_partial(jax.tree_util.register_dataclass,
+          data_fields=["plan", "inv_plan", "run_start", "rev_end",
+                       "seg_len"],
+          meta_fields=["n_seg", "n_edges_padded"])
+@dataclass(frozen=True)
+class OffsetsRoute:
+    """Benes route between vertex slots and their static segment offsets."""
+    plan: object            # PermutePlan: out[offsets[w]] = in[w]
+    inv_plan: object        # its inverse: out[w] = in[offsets[w]]
+    run_start: jax.Array    # bool[n_seg+1]: first of a run of equal offsets
+    rev_end: jax.Array      # bool[n_seg+1]: run-END flags, REVERSED axis
+    seg_len: jax.Array      # int32[n_seg]: static segment lengths
+    n_seg: int
+    n_edges_padded: int
+
+
+def build_offsets_route(offsets: np.ndarray, n_edges_padded: int
+                        ) -> OffsetsRoute:
+    """Host-side: build the offsets permutation plan (+inverse)."""
+    from essentials_tpu.ops.permute import (route_permutation, invert_plan,
+                                            routable_length)
+    off = np.asarray(offsets, np.int64)
+    n_seg = off.shape[0] - 1
+    L = routable_length(n_edges_padded + 1)
+    n = n_seg + 1
+    run_start = np.empty(n, bool)
+    run_start[0] = True
+    run_start[1:] = off[1:] != off[:-1]
+    run_end = np.empty(n, bool)
+    run_end[:-1] = run_start[1:]
+    run_end[-1] = True
+    # completion: first-of-run slots w map to position off[w]; all other
+    # slots fill the remaining positions in ascending order.
+    gather_idx = np.full(L, -1, np.int64)      # gather_idx[pos] = slot
+    firsts = np.nonzero(run_start)[0]
+    gather_idx[off[firsts]] = firsts
+    free_pos = np.nonzero(gather_idx < 0)[0]
+    used_slot = np.zeros(L, bool)
+    used_slot[firsts] = True
+    free_slot = np.nonzero(~used_slot)[0]
+    gather_idx[free_pos] = free_slot
+    plan = route_permutation(gather_idx)
+    return OffsetsRoute(plan=plan, inv_plan=invert_plan(plan),
+                        run_start=jnp.asarray(run_start),
+                        rev_end=jnp.asarray(run_end[::-1].copy()),
+                        seg_len=jnp.asarray(np.diff(off).astype(np.int32)),
+                        n_seg=n_seg, n_edges_padded=n_edges_padded)
+
+
+def _run_totals(d: jax.Array, route: OffsetsRoute) -> jax.Array:
+    """Sum ``d`` within runs of equal offsets; the total lands on each
+    run's FIRST slot, 0 elsewhere. Vertex-axis only, int32-exact."""
+    n = d.shape[0]
+    rs = route.run_start[:n]
+    t = _segscan2(d, rs, "add")                    # run total at run ends
+    # back-fill run-end values to the whole run: reverse + forward-fill
+    rev_flags = route.rev_end[route.run_start.shape[0] - n:]
+    ff = _segscan2(t[::-1], rev_flags, "first")[::-1]
+    return jnp.where(rs, ff, jnp.zeros((), d.dtype))
+
+
+def expand_vertex_to_edges_routed(vertex_vals: jax.Array,
+                                  route: OffsetsRoute) -> jax.Array:
+    """Routed expand: per-vertex values broadcast to their edge segments
+    with no V-sized scatter. Exact for all dtypes (int32 telescoping)."""
+    return expand_multi_routed((vertex_vals,), route)[0]
+
+
+def expand_multi_routed(vertex_vals_list, route: OffsetsRoute):
+    """Expand several vertex arrays through ONE shared routing."""
+    if not vertex_vals_list:
+        return ()
+    from essentials_tpu.ops.permute import apply_plan_multi
+    from essentials_tpu.ops.scan_kernels import cumsum as _pc
+    dds, dts = [], []
+    for v in vertex_vals_list:
+        iv = _to_i32(v)
+        d = jnp.diff(iv, prepend=jnp.zeros(1, jnp.int32))
+        dds.append(_run_totals(d, route))
+        dts.append(v.dtype)
+    routed = apply_plan_multi(tuple(dds), route.plan,
+                              n_valid=route.n_edges_padded)
+    return tuple(_from_i32(_pc(r), dt) for r, dt in zip(routed, dts))
+
+
+def combine_by_offsets_routed(edge_vals: jax.Array, route: OffsetsRoute,
+                              combine: Combine,
+                              seg_flags: jax.Array | None = None
+                              ) -> jax.Array:
+    """Routed segmented reduction: no V-sized boundary gather."""
+    from essentials_tpu.ops.permute import apply_plan
+    from essentials_tpu.ops.scan_kernels import cumsum as _pc
+    n_seg = route.n_seg
+    rs = route.run_start
+
+    def boundaries(prefix_ex):
+        """prefix_ex[k] = reduction over edges [0, k); returns
+        b[w] = prefix_ex[offsets[w]] for every w (run forward-fill)."""
+        g = apply_plan(prefix_ex, route.inv_plan, n_valid=n_seg + 1)
+        return _segscan2(g, rs, "first")
+
+    if combine in (Combine.OR, Combine.AND, Combine.SUM):
+        iv = edge_vals
+        if iv.dtype != jnp.int32:
+            if combine == Combine.SUM and jnp.issubdtype(iv.dtype,
+                                                         jnp.floating):
+                iv = iv.astype(jnp.float32)
+            else:
+                iv = iv.astype(jnp.int32)
+        s = _pc(iv)
+        s_ex = jnp.concatenate([jnp.zeros(1, s.dtype), s])   # [Ep+1]
+        ff = boundaries(s_ex)
+        out = ff[1:] - ff[:-1]                         # empty segments -> 0
+        if combine == Combine.OR:
+            return out > 0
+        if combine == Combine.AND:
+            return (out == route.seg_len) | (route.seg_len == 0)
+        return out.astype(edge_vals.dtype)
+
+    # MIN / MAX via segmented scan + routed end-of-segment pick
+    assert seg_flags is not None, "MIN/MAX combine needs segment-start flags"
+    ident = combine_identity(combine, edge_vals.dtype)
+    opname = "min" if combine == Combine.MIN else "max"
+    dt = edge_vals.dtype
+    carrier = edge_vals
+    if dt not in (jnp.int32, jnp.float32):
+        carrier = carrier.astype(
+            jnp.float32 if jnp.issubdtype(dt, jnp.floating) else jnp.int32)
+    sv = _segscan2(carrier, seg_flags, opname)
+    pad = jnp.full(1, combine_identity(combine, sv.dtype), sv.dtype)
+    sv_sh = jnp.concatenate([pad, sv])                 # sv_sh[k] = sv[k-1]
+    ff = boundaries(sv_sh)
+    out = ff[1:].astype(dt)
+    return jnp.where(route.seg_len > 0, out, ident)
 
 
 # --------------------------------------------------------------------- #
