@@ -182,7 +182,7 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
     csr_flags[starts] = True
 
     kw = {"csc_rank": None, "csc_seg_flags": None,
-          "csr_seg_flags": jnp.asarray(csr_flags),
+          "csr_seg_flags": csr_flags,
           "route_fwd": None, "route_bwd": None,
           "off_route_csr": None, "off_route_csc": None}
     if build_csc:
@@ -207,13 +207,10 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
         csc_flags = np.zeros(ep, bool)
         cstarts = csc_off[:-1][np.diff(csc_off.astype(np.int64)) > 0]
         csc_flags[cstarts] = True
-        kw.update(csc_offsets=jnp.asarray(csc_off),
-                  csc_src_indices=jnp.asarray(csc_src),
-                  csc_dst_indices=jnp.asarray(csc_dst),
-                  csc_values=jnp.asarray(csc_val),
-                  csc_edge_ids=jnp.asarray(csc_eid),
-                  csc_rank=jnp.asarray(rank),
-                  csc_seg_flags=jnp.asarray(csc_flags))
+        kw.update(csc_offsets=csc_off, csc_src_indices=csc_src,
+                  csc_dst_indices=csc_dst, csc_values=csc_val,
+                  csc_edge_ids=csc_eid, csc_rank=rank,
+                  csc_seg_flags=csc_flags)
         # Benes router plans (TPU hot path): gather CSR->CSC uses
         # csc_edge_ids as gather indices; the reverse uses rank.
         # Default ON for TPU runs, OFF on CPU backends (where XLA's gather
@@ -238,12 +235,13 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
     g = Graph(
         n_vertices=v, n_edges=e, n_vertices_padded=vp, n_edges_padded=ep,
         properties=GraphProperties(directed=directed, weighted=weighted),
-        row_offsets=jnp.asarray(row_offsets),
-        col_indices=jnp.asarray(col),
-        src_indices=jnp.asarray(src),
-        values=jnp.asarray(val),
+        row_offsets=row_offsets,
+        col_indices=col,
+        src_indices=src,
+        values=val,
         **kw,
     )
-    if device is not None:
-        g = jax.device_put(g, device)
-    return g
+    # ONE batched transfer for the whole pytree (graph arrays + all Benes
+    # plans): per-array transfers each pay full round-trip latency on
+    # tunneled TPU runtimes, dominating build time at scale.
+    return jax.device_put(g, device)

@@ -132,15 +132,18 @@ def _route_np(perm: np.ndarray) -> dict:
 
 def _to_plan(d: dict, batch: int, length: int) -> PermutePlan:
     # Every stage is a within-row gather of width <= 128, so all indices fit
-    # int8 — 4x less plan data to ship through slow host->TPU links.
+    # int8 — 4x less plan data to ship through slow host->TPU links. Leaves
+    # stay host numpy; callers batch the device transfer with ONE
+    # jax.device_put over the whole pytree (per-level transfers each pay
+    # round-trip latency on tunneled TPU runtimes).
     if "leaf" in d:
         return PermutePlan(idx1=None, idx3=None,
-                           leaf_idx=jnp.asarray(d["leaf"].astype(np.int8)),
+                           leaf_idx=d["leaf"].astype(np.int8),
                            batch=batch, rows=0, length=length, mid=None)
     idx1 = d["idx1"]
     B, R, C = idx1.shape
-    return PermutePlan(idx1=jnp.asarray(idx1.astype(np.int8)),
-                       idx3=jnp.asarray(d["idx3"].astype(np.int8)),
+    return PermutePlan(idx1=idx1.astype(np.int8),
+                       idx3=d["idx3"].astype(np.int8),
                        leaf_idx=None, batch=B, rows=R, length=R * C,
                        mid=_to_plan(d["mid"], B * C, R))
 
@@ -174,7 +177,7 @@ def invert_plan(plan: PermutePlan) -> PermutePlan:
         ar = np.arange(flat.shape[-1], dtype=flat.dtype)
         rows = np.arange(flat.shape[0])[:, None]
         out[rows, flat] = ar[None, :]
-        return jnp.asarray(out.reshape(idx.shape))
+        return out.reshape(idx.shape)
 
     if plan.leaf_idx is not None:
         return PermutePlan(idx1=None, idx3=None,
@@ -186,16 +189,74 @@ def invert_plan(plan: PermutePlan) -> PermutePlan:
                        length=plan.length, mid=invert_plan(plan.mid))
 
 
-def route_permutation(gather_idx: np.ndarray) -> PermutePlan:
+def _plan_cache_dir() -> str | None:
+    d = os.environ.get("ESSENTIALS_TPU_CACHE")
+    if d == "0":
+        return None
+    if not d:
+        d = os.path.join(os.path.expanduser("~"), ".cache", "essentials_tpu")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _plan_to_store(plan: PermutePlan, store: dict, prefix: str) -> None:
+    if plan.leaf_idx is not None:
+        store[prefix + "leaf"] = np.asarray(plan.leaf_idx)
+        return
+    store[prefix + "idx1"] = np.asarray(plan.idx1)
+    store[prefix + "idx3"] = np.asarray(plan.idx3)
+    _plan_to_store(plan.mid, store, prefix + "m.")
+
+
+def _plan_from_store(z, prefix: str, batch: int, length: int) -> PermutePlan:
+    if prefix + "leaf" in z:
+        leaf = z[prefix + "leaf"]
+        return PermutePlan(idx1=None, idx3=None, leaf_idx=leaf,
+                           batch=batch, rows=0, length=length, mid=None)
+    idx1 = z[prefix + "idx1"]
+    B, R, C = idx1.shape
+    return PermutePlan(idx1=idx1, idx3=z[prefix + "idx3"], leaf_idx=None,
+                       batch=B, rows=R, length=R * C,
+                       mid=_plan_from_store(z, prefix + "m.", B * C, R))
+
+
+def route_permutation(gather_idx: np.ndarray, *, cache: bool = True
+                      ) -> PermutePlan:
     """Build a routing plan for ``out[p] = in[gather_idx[p]]`` (a bijection
-    over [0, n)). The plan pads to routable_length(n) internally."""
+    over [0, n)). The plan pads to routable_length(n) internally.
+
+    Plans are content-addressed-cached on disk (~/.cache/essentials_tpu or
+    $ESSENTIALS_TPU_CACHE; "0" disables) — reference parity with the CSR
+    binary cache idea (formats/csr.hxx:159-240), applied to routing
+    preprocessing instead.
+    """
     gather_idx = np.asarray(gather_idx, np.int64)
     n = gather_idx.shape[0]
     np_len = routable_length(n)
+    cdir = _plan_cache_dir() if cache else None
+    path = None
+    if cdir is not None:
+        import hashlib
+        h = hashlib.blake2b(gather_idx.tobytes(), digest_size=16)
+        h.update(str(np_len).encode())
+        path = os.path.join(cdir, f"plan_{h.hexdigest()}.npz")
+        if os.path.exists(path):
+            try:
+                with np.load(path) as z:
+                    return _plan_from_store(dict(z.items()), "", 1, np_len)
+            except Exception:
+                pass  # corrupt cache entry: rebuild
     full = np.concatenate([gather_idx,
                            np.arange(n, np_len, dtype=np.int64)])
     d = _route_np(full[None, :])
-    return _to_plan(d, 1, np_len)
+    plan = _to_plan(d, 1, np_len)
+    if path is not None:
+        store: dict = {}
+        _plan_to_store(plan, store, "")
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, **store)
+        os.replace(tmp, path)
+    return plan
 
 
 # ------------------------------------------------------------------ #

@@ -209,6 +209,7 @@ def segmented_scan_1d(x: jax.Array, flags: jax.Array, op: str):
 
 def cumsum(x: jax.Array) -> jax.Array:
     """Drop-in inclusive cumsum; Pallas on TPU, jnp elsewhere."""
+    x = jnp.asarray(x)
     if jax.default_backend() == "tpu" and x.ndim == 1 and \
             x.dtype in (jnp.int32, jnp.float32) and x.shape[0] >= LANES:
         return scan_1d(x, "add")
@@ -217,6 +218,8 @@ def cumsum(x: jax.Array) -> jax.Array:
 
 def segmented_scan(x: jax.Array, flags: jax.Array, op: str) -> jax.Array:
     """Segmented inclusive scan; Pallas on TPU, associative_scan elsewhere."""
+    x = jnp.asarray(x)
+    flags = jnp.asarray(flags)
     if jax.default_backend() == "tpu" and x.ndim == 1 and \
             x.dtype in (jnp.int32, jnp.float32) and x.shape[0] >= LANES:
         return segmented_scan_1d(x, flags, op)

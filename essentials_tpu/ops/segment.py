@@ -212,10 +212,12 @@ def build_offsets_route(offsets: np.ndarray, n_edges_padded: int
     free_slot = np.nonzero(~used_slot)[0]
     gather_idx[free_pos] = free_slot
     plan = route_permutation(gather_idx)
+    # leaves stay host numpy; the graph builder ships everything with one
+    # batched jax.device_put
     return OffsetsRoute(plan=plan, inv_plan=invert_plan(plan),
-                        run_start=jnp.asarray(run_start),
-                        rev_end=jnp.asarray(run_end[::-1].copy()),
-                        seg_len=jnp.asarray(np.diff(off).astype(np.int32)),
+                        run_start=run_start,
+                        rev_end=run_end[::-1].copy(),
+                        seg_len=np.diff(off).astype(np.int32),
                         n_seg=n_seg, n_edges_padded=n_edges_padded)
 
 
