@@ -57,7 +57,7 @@ def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
                        P(AXIS, None), P(AXIS), P(AXIS)),
-             out_specs=P(AXIS))
+             out_specs=P(AXIS), check_vma=False)
     def run(soff, doff, route, vvalid, dist0, frontier0):
         soff, doff, vvalid = soff[0], doff[0], vvalid[0]
         route_l = _local(route)
@@ -99,7 +99,7 @@ def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
                        P(AXIS, None), P(AXIS, None), P(AXIS)),
-             out_specs=P(AXIS))
+             out_specs=P(AXIS), check_vma=False)
     def run(soff, doff, route, vvalid, odeg, p0):
         soff, doff, vvalid, odeg = soff[0], doff[0], vvalid[0], odeg[0]
         route_l = _local(route)
