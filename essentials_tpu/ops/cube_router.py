@@ -1,0 +1,458 @@
+"""Cube router v2: fused Beneš permutation kernels at HBM bandwidth.
+
+The legacy executor (ops/permute.py:_apply) runs the Beneš recursion as 5-7
+flat row-gather kernels with 4-6 *global HBM transposes* between them —
+measured 7.7 ms for an 8.4M-element route on v5e, ~80x off roofline. This
+module executes the SAME plan as THREE fused Pallas kernels over a
+radix-128 "cube" view of the array, with all transposes done on 128x128
+tiles inside VMEM:
+
+  N <= 16384           [B, C]          3 stages  (c, b, c)      1 kernel
+  N <= 8,388,608       [W, B, C]       5 stages  (c, b, w, b, c)
+  N <= ~100M           [T, F, B, C]    7 stages  (c, b, f, t, f, b, c)
+
+where C = B = F = 128 lanes, W = N/16384 <= 512 ("wide" middle executed as
+chunked lane gathers + selects), T = N/2097152 <= 48 (VMEM bound).
+
+Kernel grouping (one HBM round-trip each):
+  K1 = first two stages   (per (outer)-slice: gather c, tile-transpose,
+                           gather b)                 in [.., B, C] -> [.., C, B]
+  K2 = all middle stages  (per c-slice: every gather permutes only the
+                           row index (w / t,f), VMEM-local relayouts)
+  K3 = last stage         (per (outer)-slice: tile-transpose, gather c)
+
+Payloads ride as a leading batch axis; int8 payloads stay int8 in HBM and
+are widened to int32 only inside VMEM (Mosaic v5e gathers are int32-only).
+
+Plan indices are int8 (every stage gathers within <=128 lanes) except the
+wide-middle stage (int16, values < 512).
+
+Reference parity: this is the TPU replacement for the reference's
+load-balanced scatter/gather kernels (advance/block_mapped.hxx:38-147,
+merge_path.hxx:89-113) — data movement between CSR and CSC edge orders.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+_SEG = LANES * LANES          # 16384
+_CUBE = _SEG * LANES          # 2097152
+MAX_WIDE = 512                # wide-middle width cap ([W,B,C] form)
+MAX_T = 40                    # VMEM cap for the [T,F,B,C] middle kernel
+
+
+def cube_routable_length(n: int) -> int | None:
+    """Padded length the cube executor supports, or None if out of range.
+
+    W is kept a multiple of 8 so the K1/K3 kernels can block 8 w-slices
+    without partial-block masking."""
+    def up(x, m):
+        return -(-x // m) * m
+    if n <= _SEG:
+        return None                      # small: legacy path is fine
+    if n <= _SEG * MAX_WIDE:
+        return up(n, 8 * _SEG)
+    if n <= _CUBE * MAX_T:
+        return up(n, _CUBE)
+    return None
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["stages"], meta_fields=["form", "length", "wide"])
+@dataclass(frozen=True)
+class CubePlan:
+    """Kernel-arranged Beneš stage indices.
+
+    form "wbc": stages (c, b, w, b, c) with layouts
+        [W,B,C] [W,C,B] [C,B,W] [C,W,B] [W,B,C]
+    form "tfbc": stages (c, b, f, t, f, b, c) with layouts
+        [T,F,B,C] [T,F,C,B] [C,T,B,F] [C,F,B,T] [C,T,B,F] [C,T,F,B] [T,F,B,C]
+    """
+    stages: tuple            # tuple of index arrays (int8 / int16)
+    form: str                # "wbc" | "tfbc"
+    length: int              # padded N
+    wide: int                # W (wbc) or T (tfbc)
+
+
+# ------------------------------------------------------------------ #
+# plan construction (host, NumPy)
+
+def _route_tree(perm: np.ndarray, max_leaf: int) -> dict:
+    """_route_np clone with a configurable leaf width (wide leaves)."""
+    from essentials_tpu.ops.permute import edge_color
+    B, N = perm.shape
+    if N <= max_leaf:
+        return {"leaf": perm.astype(np.int32)}
+    R, C = N // LANES, LANES
+    p = np.arange(N)
+    r_src = (perm // C).astype(np.int32)
+    c_src = (perm % C).astype(np.int32)
+    r_dst = np.broadcast_to((p // C).astype(np.int32), (B, N))
+    off = (np.arange(B, dtype=np.int64) * R)[:, None]
+    colors = edge_color((r_src + off).reshape(-1),
+                        (r_dst + off).reshape(-1), B * R, C)
+    m = colors.reshape(B, N).astype(np.int32)
+    b_ix = np.repeat(np.arange(B), N)
+    idx1 = np.empty((B, R, C), np.int32)
+    idx1[b_ix, r_src.reshape(-1), m.reshape(-1)] = c_src.reshape(-1)
+    idx3 = np.empty((B, R, C), np.int32)
+    idx3[b_ix, r_dst.reshape(-1), (p % C)[None].repeat(B, 0).reshape(-1)] = \
+        m.reshape(-1)
+    mid = np.empty((B, C, R), np.int32)
+    mid[b_ix, m.reshape(-1), r_dst.reshape(-1)] = r_src.reshape(-1)
+    return {"idx1": idx1, "idx3": idx3,
+            "mid": _route_tree(mid.reshape(B * C, R), max_leaf)}
+
+
+def build_cube_plan(gather_idx: np.ndarray) -> CubePlan | None:
+    """Build a cube plan for out[p] = in[gather_idx[p]]; None if the size
+    is outside the cube executor's range."""
+    gather_idx = np.asarray(gather_idx, np.int64)
+    n = gather_idx.shape[0]
+    L = cube_routable_length(n)
+    if L is None:
+        return None
+    full = np.concatenate([gather_idx, np.arange(n, L, dtype=np.int64)])
+
+    if L <= _SEG * MAX_WIDE:
+        W = L // _SEG
+        # max_leaf picked so the tree depth is exactly (c, b, wide-W):
+        # W <= 128 must keep splitting past W*128-wide rows; W in (128, 512]
+        # must stop at the W-wide leaf.
+        d0 = _route_tree(full[None, :], MAX_WIDE if W > LANES else LANES)
+        d1 = d0["mid"]                       # over [C, W*128]
+        leaf = d1["mid"]["leaf"]             # [C*B, W]
+        s0 = d0["idx1"].reshape(W, LANES, LANES).astype(np.int8)
+        s1 = d1["idx1"].reshape(LANES, W, LANES).transpose(1, 0, 2) \
+            .astype(np.int8)                                    # [W, C, B]
+        s2 = leaf.reshape(LANES, LANES, W).astype(np.int16)     # [C, B, W]
+        s3 = d1["idx3"].reshape(LANES, W, LANES).astype(np.int8)  # [C, W, B]
+        s4 = d0["idx3"].reshape(W, LANES, LANES).astype(np.int8)
+        return CubePlan(stages=(s0, s1, s2, s3, s4), form="wbc",
+                        length=L, wide=W)
+
+    T = L // _CUBE
+    d0 = _route_tree(full[None, :], LANES)
+    d1 = d0["mid"]                           # over [C, T*F*128]
+    d2 = d1["mid"]                           # over [C*B, T*128]
+    leaf = d2["mid"]["leaf"]                 # [C*B*F, T]
+    F = LANES
+    s0 = d0["idx1"].reshape(T, F, LANES, LANES).astype(np.int8)
+    s1 = d1["idx1"].reshape(LANES, T, F, LANES).transpose(1, 2, 0, 3) \
+        .astype(np.int8)                                  # [T, F, C, B]
+    s2 = d2["idx1"].reshape(LANES, LANES, T, F).transpose(0, 2, 1, 3) \
+        .astype(np.int8)                                  # [C, T, B, F]
+    s3 = leaf.reshape(LANES, LANES, F, T).transpose(0, 2, 1, 3) \
+        .astype(np.int8)                                  # [C, F, B, T]
+    s4 = d2["idx3"].reshape(LANES, LANES, T, F).transpose(0, 2, 1, 3) \
+        .astype(np.int8)                                  # [C, T, B, F]
+    s5 = d1["idx3"].reshape(LANES, T, F, LANES).astype(np.int8)  # [C, T, F, B]
+    s6 = d0["idx3"].reshape(T, F, LANES, LANES).astype(np.int8)
+    return CubePlan(stages=(s0, s1, s2, s3, s4, s5, s6), form="tfbc",
+                    length=L, wide=T)
+
+
+def invert_cube_plan(plan: CubePlan) -> CubePlan:
+    """Inverse plan: reversed stage order, row-inverted indices, rearranged
+    to each mirrored position's kernel layout."""
+    def inv_rows(idx):
+        idx = np.asarray(idx)
+        w = idx.shape[-1]
+        flat = idx.reshape(-1, w).astype(np.int64)
+        out = np.empty_like(flat)
+        rows = np.arange(flat.shape[0])[:, None]
+        out[rows, flat] = np.arange(w, dtype=np.int64)[None, :]
+        return out.reshape(idx.shape).astype(idx.dtype)
+
+    s = [np.asarray(a) for a in plan.stages]
+    if plan.form == "wbc":
+        # mirror pairs: (0,4) same layout; (1,3) [W,C,B]<->[C,W,B]; (2,2) self
+        ns = (inv_rows(s[4]),
+              inv_rows(s[3]).transpose(1, 0, 2),
+              inv_rows(s[2]),
+              inv_rows(s[1]).transpose(1, 0, 2),
+              inv_rows(s[0]))
+    else:
+        # (0,6) same; (1,5) [T,F,C,B]<->[C,T,F,B]; (2,4) same; (3,3) self
+        ns = (inv_rows(s[6]),
+              inv_rows(s[5]).transpose(1, 2, 0, 3),
+              inv_rows(s[4]),
+              inv_rows(s[3]),
+              inv_rows(s[2]),
+              inv_rows(s[1]).transpose(2, 0, 1, 3),
+              inv_rows(s[0]))
+    return CubePlan(stages=ns, form=plan.form, length=plan.length,
+                    wide=plan.wide)
+
+
+# ------------------------------------------------------------------ #
+# reference executor (pure jnp; CPU tests + non-TPU backends)
+
+def _ref_apply(x: jax.Array, plan: CubePlan) -> jax.Array:
+    """Stage-by-stage take_along_axis replay of the cube algebra.
+
+    Mirrors the Pallas kernels exactly (same intermediate layouts), so CPU
+    tests validate the algebra the TPU path executes."""
+    s = [jnp.asarray(a, jnp.int32) for a in plan.stages]
+    if plan.form == "wbc":
+        W = plan.wide
+        a = x.reshape(W, LANES, LANES)                    # [W, B, C]
+        a = jnp.take_along_axis(a, s[0], axis=2)          # gather c
+        a = jnp.swapaxes(a, 1, 2)                         # [W, C, B]
+        a = jnp.take_along_axis(a, s[1], axis=2)          # gather b
+        a = jnp.transpose(a, (1, 2, 0))                   # [C, B, W]
+        a = jnp.take_along_axis(a, s[2], axis=2)          # gather w (wide)
+        a = jnp.swapaxes(a, 1, 2)                         # [C, W, B]
+        a = jnp.take_along_axis(a, s[3], axis=2)          # gather b
+        a = jnp.transpose(a, (1, 2, 0))                   # [W, B, C]
+        a = jnp.take_along_axis(a, s[4], axis=2)          # gather c
+        return a.reshape(-1)
+    T = plan.wide
+    F = LANES
+    a = x.reshape(T, F, LANES, LANES)                     # [T, F, B, C]
+    a = jnp.take_along_axis(a, s[0], axis=3)              # gather c
+    a = jnp.swapaxes(a, 2, 3)                             # [T, F, C, B]
+    a = jnp.take_along_axis(a, s[1], axis=3)              # gather b
+    a = jnp.transpose(a, (2, 0, 3, 1))                    # [C, T, B, F]
+    a = jnp.take_along_axis(a, s[2], axis=3)              # gather f
+    a = jnp.transpose(a, (0, 3, 2, 1))                    # [C, F, B, T]
+    a = jnp.take_along_axis(a, s[3], axis=3)              # gather t
+    a = jnp.transpose(a, (0, 3, 2, 1))                    # [C, T, B, F]
+    a = jnp.take_along_axis(a, s[4], axis=3)              # gather f
+    a = jnp.swapaxes(a, 2, 3)                             # [C, T, F, B]
+    a = jnp.take_along_axis(a, s[5], axis=3)              # gather b
+    a = jnp.transpose(a, (1, 2, 3, 0))                    # [T, F, B, C]
+    a = jnp.take_along_axis(a, s[6], axis=3)              # gather c
+    return a.reshape(-1)
+
+
+# ------------------------------------------------------------------ #
+# Pallas kernels
+#
+# Physical pipeline (per payload batch p; idx blocks are reused across p
+# because p is the innermost grid dimension and Mosaic skips re-fetching
+# unchanged blocks):
+#
+#   K1  in  [P, M, B, C]  blocks of 8 m-slices   (M = W or T*F)
+#       out [P, C, M, B]  — stages (gather c, tile transpose, gather b)
+#   K2  in  [P, C, M, B]  one c-slice per block — all middle stages
+#       out [P, C, M, B]
+#   K3  in  [P, C, M, B]  blocks of 8 m-slices — (transpose, gather c)
+#       out [P, M, B, C]  = flat [P, L]
+#
+# Mosaic v5e constraints honored: gathers are 2-D int32 lane gathers of
+# width 128; the last two dims of every block are (8k, 128) or full;
+# int8 payloads stay int8 in HBM (widened only inside VMEM).
+
+_MSLAB = 8
+
+
+def _widen(v):
+    return v if v.dtype == jnp.int32 else v.astype(jnp.int32)
+
+
+def _g2(x, idx):
+    """Batched lane gather: collapse all but the minor axis to rows."""
+    shp = x.shape
+    x2 = x.reshape(-1, shp[-1])
+    i2 = idx.astype(jnp.int32).reshape(-1, shp[-1])
+    return jnp.take_along_axis(x2, i2, axis=1).reshape(shp)
+
+
+def _k1_kernel(x_ref, i0_ref, i1_ref, o_ref):
+    """8 m-slices: gather c, transpose (b<->c), gather b; emit [C, 8, B]."""
+    x = _widen(x_ref[0])                                  # [8, B, C]
+    x = _g2(x, i0_ref[...])
+    x = jnp.swapaxes(x, 1, 2)                             # [8, C, B]
+    x = _g2(x, i1_ref[...])
+    out = jnp.swapaxes(x, 0, 1)                           # [C, 8, B]
+    o_ref[0] = out if out.dtype == o_ref.dtype else out.astype(o_ref.dtype)
+
+
+def _k3_kernel(x_ref, i_ref, o_ref):
+    """8 m-slices: transpose back, gather c; emit flat [8, B, C]."""
+    x = _widen(x_ref[0])                                  # [C, 8, B]
+    x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
+    x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
+    x = _g2(x, i_ref[...])
+    o_ref[0] = x if x.dtype == o_ref.dtype else x.astype(o_ref.dtype)
+
+
+def _k2_wbc_kernel(W, x_ref, iw_ref, ib_ref, o_ref):
+    """One c-slice: wide gather along w (chunked 128x128 transposes + lane
+    gathers + selects), then gather b."""
+    k = -(-W // LANES)
+    Wp = k * LANES
+    x = _widen(x_ref[0, 0])                               # [W, B]
+    if Wp != W:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Wp - W, LANES), jnp.int32)], axis=0)
+    xt = jnp.swapaxes(x.reshape(k, LANES, LANES), 1, 2)   # [k, B, 128(w_lo)]
+    iw = iw_ref[0].astype(jnp.int32)                      # [B, W]
+    out_chunks = []
+    for jj in range(k):
+        w0 = jj * LANES
+        w1 = min(w0 + LANES, W)
+        idx = iw[:, w0:w1]
+        if w1 - w0 < LANES:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((LANES, LANES - (w1 - w0)), jnp.int32)],
+                axis=1)
+        lo = idx & (LANES - 1)
+        hi = idx >> 7
+        acc = jnp.zeros((LANES, LANES), jnp.int32)        # [B, 128(w_out)]
+        for j in range(k):
+            gj = jnp.take_along_axis(xt[j], lo, axis=1)
+            acc = jnp.where(hi == j, gj, acc) if k > 1 else gj
+        out_chunks.append(acc.T)                          # [128(w_out), B]
+    a = (jnp.concatenate(out_chunks, axis=0) if k > 1
+         else out_chunks[0])[:W]                          # [W, B]
+    a = jnp.take_along_axis(a, ib_ref[0].astype(jnp.int32), axis=1)
+    o_ref[0, 0] = a if a.dtype == o_ref.dtype else a.astype(o_ref.dtype)
+
+
+def _k2_tfbc_kernel(T, x_ref, i2_ref, i3_ref, i4_ref, i5_ref, o_ref):
+    """One c-slice: gather f, gather t (transposed + padded), gather f,
+    gather b."""
+    F = LANES
+    x = _widen(x_ref[0, 0]).reshape(T, F, LANES)          # [T, F, B]
+    a = jnp.swapaxes(x, 1, 2)                             # [T, B, F]
+    a = _g2(a, i2_ref[0])                                 # gather f
+    a = jnp.transpose(a, (2, 1, 0))                       # [F, B, T]
+    i3 = i3_ref[0].astype(jnp.int32)                      # [F, B, T]
+    if T != LANES:
+        pad = jnp.zeros((F, LANES, LANES - T), jnp.int32)
+        a = jnp.concatenate([a, pad], axis=2)
+        i3 = jnp.concatenate([i3, pad], axis=2)
+    a = _g2(a, i3)                                        # gather t
+    a = jnp.transpose(a, (2, 1, 0))[:T]                   # [T, B, F]
+    a = _g2(a, i4_ref[0])                                 # gather f
+    a = jnp.swapaxes(a, 1, 2)                             # [T, F, B]
+    a = _g2(a, i5_ref[0])                                 # gather b
+    a = a.reshape(T * F, LANES)
+    o_ref[0, 0] = a if a.dtype == o_ref.dtype else a.astype(o_ref.dtype)
+
+
+def _pallas_apply(xs: tuple, plan: CubePlan) -> tuple:
+    """Apply the plan to P same-dtype payloads stacked [P, L]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.stack(xs)                                     # [P, L]
+    P = x.shape[0]
+    dt = x.dtype
+    L = plan.length
+    s = [jnp.asarray(a) for a in plan.stages]
+
+    def bs(shp, im):
+        return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+
+    if plan.form == "wbc":
+        M = plan.wide                                     # W (multiple of 8)
+        i0 = s[0]                                         # [W, B, C]
+        i1 = s[1]                                         # [W, C, B]
+        iw, ib = s[2], s[3]                               # [C, B, W] [C, W, B]
+        i6 = s[4]                                         # [W, B, C]
+        k2_kernel = partial(_k2_wbc_kernel, M)
+        k2_idx = [(iw, bs((1, LANES, M), lambda c, p: (c, 0, 0))),
+                  (ib, bs((1, M, LANES), lambda c, p: (c, 0, 0)))]
+    else:
+        T = plan.wide
+        M = T * LANES
+        i0 = s[0].reshape(M, LANES, LANES)
+        i1 = s[1].reshape(M, LANES, LANES)                # [T*F, C, B]
+        i6 = s[6].reshape(M, LANES, LANES)
+        k2_kernel = partial(_k2_tfbc_kernel, T)
+        k2_idx = [(s[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+                  (s[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+                  (s[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+                  (s[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
+
+    xm = x.reshape(P, M, LANES, LANES)                    # [P, M, B, C]
+    k1 = pl.pallas_call(
+        _k1_kernel, grid=(M // _MSLAB, P),
+        in_specs=[bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
+                  bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+                  bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+        out_specs=bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+    )(xm, i0, i1)                                         # [P, C, M, B]
+
+    k2 = pl.pallas_call(
+        k2_kernel, grid=(LANES, P),
+        in_specs=[bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0))]
+        + [spec for _, spec in k2_idx],
+        out_specs=bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+    )(k1, *[a for a, _ in k2_idx])                        # [P, C, M, B]
+
+    k3 = pl.pallas_call(
+        _k3_kernel, grid=(M // _MSLAB, P),
+        in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+                  bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+        out_specs=bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, M, LANES, LANES), dt),
+    )(k2, i6)
+    out = k3.reshape(P, L)
+    return tuple(out[i] for i in range(P))
+
+
+def apply_cube_plan(xs, plan: CubePlan, n_valid: int | None = None,
+                    *, use_pallas: bool | None = None):
+    """Apply the routed permutation to payloads (mixed dtypes OK).
+
+    Payloads are grouped by carrier (int8 stays 1 byte in HBM; everything
+    else rides an int32 bitcast carrier)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = xs[0].shape[0]
+    n_valid = n if n_valid is None else n_valid
+    L = plan.length
+
+    carriers, lanes8, lanes32 = [], [], []
+    for i, x in enumerate(xs):
+        dt = x.dtype
+        if use_pallas and dt in (jnp.int8, jnp.uint8, jnp.bool_):
+            c = x.astype(jnp.int8)
+            lanes8.append(i)
+        elif dt in (jnp.float32, jnp.uint32):
+            c = jax.lax.bitcast_convert_type(x, jnp.int32)
+            lanes32.append(i)
+        else:
+            c = x.astype(jnp.int32)
+            lanes32.append(i)
+        if n < L:
+            c = jnp.pad(c, (0, L - n))
+        carriers.append(c)
+
+    outs: list = [None] * len(xs)
+    for group in (lanes8, lanes32):
+        if not group:
+            continue
+        grp = tuple(carriers[i] for i in group)
+        if use_pallas:
+            res = _pallas_apply(grp, plan)
+        else:
+            res = tuple(_ref_apply(g, plan) for g in grp)
+        for i, r in zip(group, res):
+            outs[i] = r
+
+    results = []
+    for x, o in zip(xs, outs):
+        dt = x.dtype
+        o = o[:n_valid]
+        if dt in (jnp.float32, jnp.uint32):
+            o = jax.lax.bitcast_convert_type(o, dt)
+        elif dt == jnp.bool_:
+            o = o != 0
+        elif o.dtype != dt:
+            o = o.astype(dt)
+        results.append(o)
+    return tuple(results)

@@ -149,7 +149,7 @@ def _to_plan(d: dict, batch: int, length: int) -> PermutePlan:
 
 
 def routable_length(n: int) -> int:
-    """Smallest supported padded length >= n."""
+    """Smallest supported padded length >= n (legacy flat executor)."""
     def up(x, m):
         return ((x + m - 1) // m) * m
     if n <= LANES:
@@ -163,7 +163,23 @@ def routable_length(n: int) -> int:
     raise ValueError(f"permutation too large to route: {n}")
 
 
-def invert_plan(plan: PermutePlan) -> PermutePlan:
+def plan_length(n: int) -> int:
+    """Padded length route_permutation(gather_idx of size n) will use —
+    the cube executor's when it covers n, the legacy flat one otherwise."""
+    from essentials_tpu.ops.cube_router import cube_routable_length
+    L = cube_routable_length(n)
+    return L if L is not None else routable_length(n)
+
+
+def invert_plan(plan):
+    """Host-side inverse for either plan kind."""
+    from essentials_tpu.ops import cube_router
+    if isinstance(plan, cube_router.CubePlan):
+        return cube_router.invert_cube_plan(plan)
+    return _invert_flat_plan(plan)
+
+
+def _invert_flat_plan(plan: PermutePlan) -> PermutePlan:
     """Host-side inverse: apply_plan(apply_plan(x, p), invert_plan(p)) == x.
 
     A Clos node (stage1 -> transpose -> mid -> transpose -> stage3) inverts
@@ -230,8 +246,11 @@ def route_permutation(gather_idx: np.ndarray, *, cache: bool = True
     binary cache idea (formats/csr.hxx:159-240), applied to routing
     preprocessing instead.
     """
+    from essentials_tpu.ops import cube_router
     gather_idx = np.asarray(gather_idx, np.int64)
     n = gather_idx.shape[0]
+    if cube_router.cube_routable_length(n) is not None:
+        return _route_cube_cached(gather_idx, cache)
     np_len = routable_length(n)
     cdir = _plan_cache_dir() if cache else None
     path = None
@@ -253,6 +272,39 @@ def route_permutation(gather_idx: np.ndarray, *, cache: bool = True
     if path is not None:
         store: dict = {}
         _plan_to_store(plan, store, "")
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, **store)
+        os.replace(tmp, path)
+    return plan
+
+
+def _route_cube_cached(gather_idx: np.ndarray, cache: bool):
+    """Build (or load) a fused-kernel CubePlan (ops/cube_router.py)."""
+    from essentials_tpu.ops import cube_router
+    L = cube_router.cube_routable_length(gather_idx.shape[0])
+    cdir = _plan_cache_dir() if cache else None
+    path = None
+    if cdir is not None:
+        import hashlib
+        h = hashlib.blake2b(gather_idx.tobytes(), digest_size=16)
+        h.update(f"cube1:{L}".encode())
+        path = os.path.join(cdir, f"cplan_{h.hexdigest()}.npz")
+        if os.path.exists(path):
+            try:
+                with np.load(path) as z:
+                    meta = z["meta"]
+                    stages = tuple(z[f"s{i}"] for i in range(int(meta[0])))
+                    return cube_router.CubePlan(
+                        stages=stages, form=str(z["form"]),
+                        length=int(meta[1]), wide=int(meta[2]))
+            except Exception:
+                pass
+    plan = cube_router.build_cube_plan(gather_idx)
+    if path is not None:
+        store = {f"s{i}": np.asarray(a) for i, a in enumerate(plan.stages)}
+        store["meta"] = np.asarray(
+            [len(plan.stages), plan.length, plan.wide], np.int64)
+        store["form"] = np.asarray(plan.form)
         tmp = path + f".tmp{os.getpid()}.npz"
         np.savez(tmp, **store)
         os.replace(tmp, path)
@@ -364,6 +416,10 @@ def apply_plan_multi(xs, plan: PermutePlan, n_valid: int | None = None,
     """Apply the routed permutation to several payloads at once (they ride
     the same kernels as a batch dimension). All payloads are cast to a
     common 32-bit carrier via bitcast/zero-extension and restored."""
+    from essentials_tpu.ops import cube_router
+    if isinstance(plan, cube_router.CubePlan):
+        return cube_router.apply_cube_plan(xs, plan, n_valid,
+                                           use_pallas=use_pallas)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = xs[0].shape[0]

@@ -190,10 +190,10 @@ def build_offsets_route(offsets: np.ndarray, n_edges_padded: int
                         ) -> OffsetsRoute:
     """Host-side: build the offsets permutation plan (+inverse)."""
     from essentials_tpu.ops.permute import (route_permutation, invert_plan,
-                                            routable_length)
+                                            plan_length)
     off = np.asarray(offsets, np.int64)
     n_seg = off.shape[0] - 1
-    L = routable_length(n_edges_padded + 1)
+    L = plan_length(n_edges_padded + 1)
     n = n_seg + 1
     run_start = np.empty(n, bool)
     run_start[0] = True

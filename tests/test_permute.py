@@ -8,7 +8,7 @@ import pytest
 
 from essentials_tpu.ops.permute import (route_permutation, apply_plan,
                                         apply_plan_multi, edge_color,
-                                        routable_length)
+                                        plan_length)
 
 
 def test_edge_color_proper():
@@ -27,7 +27,7 @@ def test_route_apply(n):
     rng = np.random.default_rng(n)
     perm = rng.permutation(n)
     plan = route_permutation(perm)
-    assert plan.length == routable_length(n)
+    assert plan.length == plan_length(n)
     x = jnp.asarray(rng.random(n).astype(np.float32))
     out = np.asarray(apply_plan(x, plan, use_pallas=False))
     np.testing.assert_array_equal(out, np.asarray(x)[perm])
