@@ -266,9 +266,31 @@ def _g2(x, idx):
     return jnp.take_along_axis(x2, i2, axis=1).reshape(shp)
 
 
-def _k1_kernel(x_ref, i0_ref, i1_ref, o_ref):
-    """8 m-slices: gather c, transpose (b<->c), gather b; emit [C, 8, B]."""
+def _block_cumsum(x3, carry_ref, exclusive):
+    """Scan an [8, B, C] block in flat element order with an SMEM carry
+    per payload (grid = (m, p), m outer — carry is sequential in m)."""
+    from jax.experimental import pallas as pl
+    from essentials_tpu.ops.scan_kernels import _block_scan
+    p = pl.program_id(1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[p] = jnp.zeros((), jnp.int32)
+
+    v = x3.reshape(_MSLAB * LANES, LANES)
+    incl, _, (tot, _) = _block_scan(v, None, jnp.add, jnp.int32(0), False)
+    c0 = carry_ref[p]
+    out = (incl - v if exclusive else incl) + c0
+    carry_ref[p] = c0 + tot
+    return out.reshape(_MSLAB, LANES, LANES)
+
+
+def _k1_kernel(pre_scan, x_ref, i0_ref, i1_ref, o_ref, *scratch):
+    """8 m-slices: [exclusive pre-scan,] gather c, transpose, gather b;
+    emit [C, 8, B]."""
     x = _widen(x_ref[0])                                  # [8, B, C]
+    if pre_scan:
+        x = _block_cumsum(x, scratch[0], exclusive=True)
     x = _g2(x, i0_ref[...])
     x = jnp.swapaxes(x, 1, 2)                             # [8, C, B]
     x = _g2(x, i1_ref[...])
@@ -276,12 +298,15 @@ def _k1_kernel(x_ref, i0_ref, i1_ref, o_ref):
     o_ref[0] = out if out.dtype == o_ref.dtype else out.astype(o_ref.dtype)
 
 
-def _k3_kernel(x_ref, i_ref, o_ref):
-    """8 m-slices: transpose back, gather c; emit flat [8, B, C]."""
+def _k3_kernel(post_scan, x_ref, i_ref, o_ref, *scratch):
+    """8 m-slices: transpose back, gather c [, inclusive post-scan];
+    emit flat [8, B, C]."""
     x = _widen(x_ref[0])                                  # [C, 8, B]
     x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
     x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
     x = _g2(x, i_ref[...])
+    if post_scan:
+        x = _block_cumsum(x, scratch[0], exclusive=False)
     o_ref[0] = x if x.dtype == o_ref.dtype else x.astype(o_ref.dtype)
 
 
@@ -340,8 +365,13 @@ def _k2_tfbc_kernel(T, x_ref, i2_ref, i3_ref, i4_ref, i5_ref, o_ref):
     o_ref[0, 0] = a if a.dtype == o_ref.dtype else a.astype(o_ref.dtype)
 
 
-def _pallas_apply(xs: tuple, plan: CubePlan) -> tuple:
-    """Apply the plan to P same-dtype payloads stacked [P, L]."""
+def _pallas_apply(xs: tuple, plan: CubePlan, pre_scan: bool = False,
+                  post_scan: bool = False) -> tuple:
+    """Apply the plan to P same-dtype payloads stacked [P, L].
+
+    pre_scan: exclusive int32 cumsum of each payload BEFORE routing (fused
+    into K1). post_scan: inclusive int32 cumsum AFTER routing (fused into
+    K3). Both assume an int32 carrier with wrap-around semantics."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -376,13 +406,15 @@ def _pallas_apply(xs: tuple, plan: CubePlan) -> tuple:
                   (s[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
 
     xm = x.reshape(P, M, LANES, LANES)                    # [P, M, B, C]
+    scan_scratch = [pltpu.SMEM((P,), jnp.int32)]
     k1 = pl.pallas_call(
-        _k1_kernel, grid=(M // _MSLAB, P),
+        partial(_k1_kernel, pre_scan), grid=(M // _MSLAB, P),
         in_specs=[bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
                   bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
                   bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
         out_specs=bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+        scratch_shapes=scan_scratch if pre_scan else [],
     )(xm, i0, i1)                                         # [P, C, M, B]
 
     k2 = pl.pallas_call(
@@ -394,32 +426,47 @@ def _pallas_apply(xs: tuple, plan: CubePlan) -> tuple:
     )(k1, *[a for a, _ in k2_idx])                        # [P, C, M, B]
 
     k3 = pl.pallas_call(
-        _k3_kernel, grid=(M // _MSLAB, P),
+        partial(_k3_kernel, post_scan), grid=(M // _MSLAB, P),
         in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
                   bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
         out_specs=bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, M, LANES, LANES), dt),
+        scratch_shapes=scan_scratch if post_scan else [],
     )(k2, i6)
     out = k3.reshape(P, L)
     return tuple(out[i] for i in range(P))
 
 
 def apply_cube_plan(xs, plan: CubePlan, n_valid: int | None = None,
-                    *, use_pallas: bool | None = None):
+                    *, use_pallas: bool | None = None,
+                    pre_scan_exclusive: bool = False,
+                    post_scan: bool = False):
     """Apply the routed permutation to payloads (mixed dtypes OK).
 
-    Payloads are grouped by carrier (int8 stays 1 byte in HBM; everything
-    else rides an int32 bitcast carrier)."""
+    All payloads ride a 32-bit carrier: the kernels are VPU-bound (gathers
+    and tile transposes at ~8 elem/cycle), so int8's 4x HBM saving measured
+    SLOWER than int32 on v5e (0.43 vs 0.26 ms at 7.7M) — the per-block
+    widen/narrow converts cost more than the saved DMA. Set
+    ``narrow_carrier=True`` on HBM-starved parts if that tradeoff flips."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = xs[0].shape[0]
     n_valid = n if n_valid is None else n_valid
     L = plan.length
+    narrow_carrier = False
+    scans = pre_scan_exclusive or post_scan
+    if scans:
+        # fused scans are int32 wrap-around — integer payloads only (the
+        # telescoping expansion runs float payloads through bit-diffs, so
+        # it is int32 by construction)
+        assert all(not jnp.issubdtype(x.dtype, jnp.floating) for x in xs), \
+            "fused route scans require integer payloads"
 
     carriers, lanes8, lanes32 = [], [], []
     for i, x in enumerate(xs):
         dt = x.dtype
-        if use_pallas and dt in (jnp.int8, jnp.uint8, jnp.bool_):
+        if use_pallas and narrow_carrier and not scans and \
+                dt in (jnp.int8, jnp.uint8, jnp.bool_):
             c = x.astype(jnp.int8)
             lanes8.append(i)
         elif dt in (jnp.float32, jnp.uint32):
@@ -438,12 +485,22 @@ def apply_cube_plan(xs, plan: CubePlan, n_valid: int | None = None,
             continue
         grp = tuple(carriers[i] for i in group)
         if use_pallas:
-            res = _pallas_apply(grp, plan)
+            res = _pallas_apply(grp, plan, pre_scan=pre_scan_exclusive,
+                                post_scan=post_scan)
         else:
+            if pre_scan_exclusive:
+                grp = tuple(
+                    jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                     jnp.cumsum(g)])[:-1] for g in grp)
             res = tuple(_ref_apply(g, plan) for g in grp)
+            if post_scan:
+                res = tuple(jnp.cumsum(r) for r in res)
         for i, r in zip(group, res):
             outs[i] = r
 
+    if scans:
+        # scanned outputs are int32 prefix values — no dtype narrowing
+        return tuple(o[:n_valid] for o in outs)
     results = []
     for x, o in zip(xs, outs):
         dt = x.dtype

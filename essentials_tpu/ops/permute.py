@@ -401,25 +401,36 @@ def _apply(x: jax.Array, plan: PermutePlan, use_pallas: bool,
 
 
 def apply_plan(x: jax.Array, plan: PermutePlan, n_valid: int | None = None,
-               *, use_pallas: bool | None = None) -> jax.Array:
+               *, use_pallas: bool | None = None,
+               pre_scan_exclusive: bool = False,
+               post_scan: bool = False) -> jax.Array:
     """Apply the routed permutation to a 1-D payload array.
 
     ``x`` may be shorter than the plan's padded length (it is zero-padded;
     pad slots route to pad slots). Returns the first ``n_valid`` (default
     len(x)) elements of the permuted array.
     """
-    return apply_plan_multi((x,), plan, n_valid, use_pallas=use_pallas)[0]
+    return apply_plan_multi((x,), plan, n_valid, use_pallas=use_pallas,
+                            pre_scan_exclusive=pre_scan_exclusive,
+                            post_scan=post_scan)[0]
 
 
 def apply_plan_multi(xs, plan: PermutePlan, n_valid: int | None = None,
-                     *, use_pallas: bool | None = None):
+                     *, use_pallas: bool | None = None,
+                     pre_scan_exclusive: bool = False,
+                     post_scan: bool = False):
     """Apply the routed permutation to several payloads at once (they ride
     the same kernels as a batch dimension). All payloads are cast to a
-    common 32-bit carrier via bitcast/zero-extension and restored."""
+    common 32-bit carrier via bitcast/zero-extension and restored.
+
+    pre_scan_exclusive / post_scan fuse an int32 wrap-around cumsum into
+    the routing kernels (before/after the permutation respectively);
+    scanned outputs come back as raw int32 prefix arrays."""
     from essentials_tpu.ops import cube_router
     if isinstance(plan, cube_router.CubePlan):
-        return cube_router.apply_cube_plan(xs, plan, n_valid,
-                                           use_pallas=use_pallas)
+        return cube_router.apply_cube_plan(
+            xs, plan, n_valid, use_pallas=use_pallas,
+            pre_scan_exclusive=pre_scan_exclusive, post_scan=post_scan)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n = xs[0].shape[0]
@@ -434,9 +445,16 @@ def apply_plan_multi(xs, plan: PermutePlan, n_valid: int | None = None,
             x = x.astype(jnp.int32)
         if n < np_len:
             x = jnp.pad(x, (0, np_len - n))
+        if pre_scan_exclusive:      # scan the padded domain (pads are 0)
+            x = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 jnp.cumsum(x)])[:-1]
         carriers.append(x)
     stacked = jnp.stack(carriers)                    # [P, np_len]
     out = _apply(stacked, plan, use_pallas, p=len(xs))
+    if post_scan:
+        out = jnp.cumsum(out, axis=1)
+    if pre_scan_exclusive or post_scan:
+        return tuple(out[i, :n_valid] for i in range(len(xs)))
     results = []
     for i, dt in enumerate(dtypes_in):
         o = out[i, :n_valid]

@@ -241,11 +241,13 @@ def expand_vertex_to_edges_routed(vertex_vals: jax.Array,
 
 
 def expand_multi_routed(vertex_vals_list, route: OffsetsRoute):
-    """Expand several vertex arrays through ONE shared routing."""
+    """Expand several vertex arrays through ONE shared routing.
+
+    The telescoping cumsum is fused into the routing kernels (post_scan) —
+    always int32 wrap-around on bit-diffs, exact for every dtype."""
     if not vertex_vals_list:
         return ()
     from essentials_tpu.ops.permute import apply_plan_multi
-    from essentials_tpu.ops.scan_kernels import cumsum as _pc
     dds, dts = [], []
     for v in vertex_vals_list:
         iv = _to_i32(v)
@@ -253,8 +255,8 @@ def expand_multi_routed(vertex_vals_list, route: OffsetsRoute):
         dds.append(_run_totals(d, route))
         dts.append(v.dtype)
     routed = apply_plan_multi(tuple(dds), route.plan,
-                              n_valid=route.n_edges_padded)
-    return tuple(_from_i32(_pc(r), dt) for r, dt in zip(routed, dts))
+                              n_valid=route.n_edges_padded, post_scan=True)
+    return tuple(_from_i32(r, dt) for r, dt in zip(routed, dts))
 
 
 def combine_by_offsets_routed(edge_vals: jax.Array, route: OffsetsRoute,
@@ -275,15 +277,20 @@ def combine_by_offsets_routed(edge_vals: jax.Array, route: OffsetsRoute,
 
     if combine in (Combine.OR, Combine.AND, Combine.SUM):
         iv = edge_vals
+        if combine == Combine.SUM and jnp.issubdtype(iv.dtype, jnp.floating):
+            # float SUM: real-arithmetic cumsum, unfused (fused route scans
+            # are int32 wrap-around only)
+            s = _pc(iv.astype(jnp.float32))
+            s_ex = jnp.concatenate([jnp.zeros(1, s.dtype), s])
+            ff = boundaries(s_ex)
+            out = ff[1:] - ff[:-1]
+            return out.astype(edge_vals.dtype)
         if iv.dtype != jnp.int32:
-            if combine == Combine.SUM and jnp.issubdtype(iv.dtype,
-                                                         jnp.floating):
-                iv = iv.astype(jnp.float32)
-            else:
-                iv = iv.astype(jnp.int32)
-        s = _pc(iv)
-        s_ex = jnp.concatenate([jnp.zeros(1, s.dtype), s])   # [Ep+1]
-        ff = boundaries(s_ex)
+            iv = iv.astype(jnp.int32)
+        # exclusive prefix fused into the backward route's first kernel
+        g = apply_plan(iv, route.inv_plan, n_valid=n_seg + 1,
+                       pre_scan_exclusive=True)
+        ff = _segscan2(g, rs, "first")
         out = ff[1:] - ff[:-1]                         # empty segments -> 0
         if combine == Combine.OR:
             return out > 0
