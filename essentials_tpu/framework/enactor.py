@@ -76,6 +76,10 @@ def enact(step_fn: Callable, converged_fn: Callable | None, graph, init_state,
     t0 = time.perf_counter()
     state, it = _enact_compiled(step_fn, converged_fn, graph, init_state,
                                 max_iterations)
+    # fetch the iteration scalar INSIDE the timed region: on tunneled/remote
+    # runtimes block_until_ready alone can return before the device is done,
+    # and a device->host value fetch is the only reliable fence
+    it_val = int(it)
     jax.block_until_ready(state)
     elapsed_ms = (time.perf_counter() - t0) * 1e3
-    return EnactResult(state=state, iterations=int(it), elapsed_ms=elapsed_ms)
+    return EnactResult(state=state, iterations=it_val, elapsed_ms=elapsed_ms)

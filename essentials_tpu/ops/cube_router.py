@@ -266,31 +266,39 @@ def _g2(x, idx):
     return jnp.take_along_axis(x2, i2, axis=1).reshape(shp)
 
 
-def _block_cumsum(x3, carry_ref, exclusive):
+def _block_cumsum(x3, carry_ref, exclusive, scan_f32):
     """Scan an [8, B, C] block in flat element order with an SMEM carry
-    per payload (grid = (m, p), m outer — carry is sequential in m)."""
+    per payload (grid = (m, p), m outer — carry is sequential in m).
+
+    scan_f32: the int32 carrier holds float32 bits — scan in real float
+    arithmetic (deterministic) and bitcast back."""
     from jax.experimental import pallas as pl
     from essentials_tpu.ops.scan_kernels import _block_scan
     p = pl.program_id(1)
+    v = x3.reshape(_MSLAB * LANES, LANES)
+    if scan_f32:
+        v = jax.lax.bitcast_convert_type(v, jnp.float32)
+    ident = jnp.zeros((), v.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        carry_ref[p] = jnp.zeros((), jnp.int32)
+        carry_ref[p] = ident
 
-    v = x3.reshape(_MSLAB * LANES, LANES)
-    incl, _, (tot, _) = _block_scan(v, None, jnp.add, jnp.int32(0), False)
+    incl, _, (tot, _) = _block_scan(v, None, jnp.add, ident, False)
     c0 = carry_ref[p]
     out = (incl - v if exclusive else incl) + c0
     carry_ref[p] = c0 + tot
+    if scan_f32:
+        out = jax.lax.bitcast_convert_type(out, jnp.int32)
     return out.reshape(_MSLAB, LANES, LANES)
 
 
-def _k1_kernel(pre_scan, x_ref, i0_ref, i1_ref, o_ref, *scratch):
+def _k1_kernel(pre_scan, scan_f32, x_ref, i0_ref, i1_ref, o_ref, *scratch):
     """8 m-slices: [exclusive pre-scan,] gather c, transpose, gather b;
     emit [C, 8, B]."""
     x = _widen(x_ref[0])                                  # [8, B, C]
     if pre_scan:
-        x = _block_cumsum(x, scratch[0], exclusive=True)
+        x = _block_cumsum(x, scratch[0], True, scan_f32)
     x = _g2(x, i0_ref[...])
     x = jnp.swapaxes(x, 1, 2)                             # [8, C, B]
     x = _g2(x, i1_ref[...])
@@ -298,7 +306,7 @@ def _k1_kernel(pre_scan, x_ref, i0_ref, i1_ref, o_ref, *scratch):
     o_ref[0] = out if out.dtype == o_ref.dtype else out.astype(o_ref.dtype)
 
 
-def _k3_kernel(post_scan, x_ref, i_ref, o_ref, *scratch):
+def _k3_kernel(post_scan, scan_f32, x_ref, i_ref, o_ref, *scratch):
     """8 m-slices: transpose back, gather c [, inclusive post-scan];
     emit flat [8, B, C]."""
     x = _widen(x_ref[0])                                  # [C, 8, B]
@@ -306,7 +314,7 @@ def _k3_kernel(post_scan, x_ref, i_ref, o_ref, *scratch):
     x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
     x = _g2(x, i_ref[...])
     if post_scan:
-        x = _block_cumsum(x, scratch[0], exclusive=False)
+        x = _block_cumsum(x, scratch[0], False, scan_f32)
     o_ref[0] = x if x.dtype == o_ref.dtype else x.astype(o_ref.dtype)
 
 
@@ -352,12 +360,14 @@ def _k2_tfbc_kernel(T, x_ref, i2_ref, i3_ref, i4_ref, i5_ref, o_ref):
     a = _g2(a, i2_ref[0])                                 # gather f
     a = jnp.transpose(a, (2, 1, 0))                       # [F, B, T]
     i3 = i3_ref[0].astype(jnp.int32)                      # [F, B, T]
-    if T != LANES:
-        pad = jnp.zeros((F, LANES, LANES - T), jnp.int32)
+    Tp = -(-T // 8) * 8     # Mosaic gathers lower at any width <= 128;
+    if Tp != T:             # pad only to a sublane multiple (VMEM-frugal)
+        pad = jnp.zeros((F, LANES, Tp - T), jnp.int32)
         a = jnp.concatenate([a, pad], axis=2)
         i3 = jnp.concatenate([i3, pad], axis=2)
     a = _g2(a, i3)                                        # gather t
-    a = jnp.transpose(a, (2, 1, 0))[:T]                   # [T, B, F]
+    a = (jnp.transpose(a, (2, 1, 0))[:T] if Tp != T
+         else jnp.transpose(a, (2, 1, 0)))                # [T, B, F]
     a = _g2(a, i4_ref[0])                                 # gather f
     a = jnp.swapaxes(a, 1, 2)                             # [T, F, B]
     a = _g2(a, i5_ref[0])                                 # gather b
@@ -366,7 +376,7 @@ def _k2_tfbc_kernel(T, x_ref, i2_ref, i3_ref, i4_ref, i5_ref, o_ref):
 
 
 def _pallas_apply(xs: tuple, plan: CubePlan, pre_scan: bool = False,
-                  post_scan: bool = False) -> tuple:
+                  post_scan: bool = False, scan_f32: bool = False) -> tuple:
     """Apply the plan to P same-dtype payloads stacked [P, L].
 
     pre_scan: exclusive int32 cumsum of each payload BEFORE routing (fused
@@ -406,9 +416,9 @@ def _pallas_apply(xs: tuple, plan: CubePlan, pre_scan: bool = False,
                   (s[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
 
     xm = x.reshape(P, M, LANES, LANES)                    # [P, M, B, C]
-    scan_scratch = [pltpu.SMEM((P,), jnp.int32)]
+    scan_scratch = [pltpu.SMEM((P,), jnp.float32 if scan_f32 else jnp.int32)]
     k1 = pl.pallas_call(
-        partial(_k1_kernel, pre_scan), grid=(M // _MSLAB, P),
+        partial(_k1_kernel, pre_scan, scan_f32), grid=(M // _MSLAB, P),
         in_specs=[bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
                   bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
                   bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
@@ -423,10 +433,17 @@ def _pallas_apply(xs: tuple, plan: CubePlan, pre_scan: bool = False,
         + [spec for _, spec in k2_idx],
         out_specs=bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+        # tfbc only: the middle chain keeps several [T,B,F] i32 temporaries
+        # live and the default 16M scoped-vmem estimate rejects T >= ~12.
+        # Leave wbc at the default — a raised limit changes Mosaic's
+        # scheduling there and measured 2.5x slower end-to-end.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+        if plan.form == "tfbc" else None,
     )(k1, *[a for a, _ in k2_idx])                        # [P, C, M, B]
 
     k3 = pl.pallas_call(
-        partial(_k3_kernel, post_scan), grid=(M // _MSLAB, P),
+        partial(_k3_kernel, post_scan, scan_f32), grid=(M // _MSLAB, P),
         in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
                   bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
         out_specs=bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
@@ -455,12 +472,16 @@ def apply_cube_plan(xs, plan: CubePlan, n_valid: int | None = None,
     L = plan.length
     narrow_carrier = False
     scans = pre_scan_exclusive or post_scan
+    scan_f32 = False
     if scans:
-        # fused scans are int32 wrap-around — integer payloads only (the
+        # fused scans: int32 wrap-around for integer payloads (the
         # telescoping expansion runs float payloads through bit-diffs, so
-        # it is int32 by construction)
-        assert all(not jnp.issubdtype(x.dtype, jnp.floating) for x in xs), \
-            "fused route scans require integer payloads"
+        # it is int32 by construction); float32 payloads scan in real
+        # float arithmetic (deterministic) via in-kernel bitcasts
+        n_float = sum(jnp.issubdtype(x.dtype, jnp.floating) for x in xs)
+        assert n_float in (0, len(xs)), \
+            "fused route scans: payloads must be all-int or all-float32"
+        scan_f32 = n_float > 0
 
     carriers, lanes8, lanes32 = [], [], []
     for i, x in enumerate(xs):
@@ -486,20 +507,31 @@ def apply_cube_plan(xs, plan: CubePlan, n_valid: int | None = None,
         grp = tuple(carriers[i] for i in group)
         if use_pallas:
             res = _pallas_apply(grp, plan, pre_scan=pre_scan_exclusive,
-                                post_scan=post_scan)
+                                post_scan=post_scan, scan_f32=scan_f32)
         else:
+            def _sc(g, f):
+                if scan_f32:
+                    g = jax.lax.bitcast_convert_type(g, jnp.float32)
+                g = f(g)
+                if scan_f32:
+                    g = jax.lax.bitcast_convert_type(g, jnp.int32)
+                return g
             if pre_scan_exclusive:
-                grp = tuple(
-                    jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                     jnp.cumsum(g)])[:-1] for g in grp)
+                grp = tuple(_sc(g, lambda v: jnp.concatenate(
+                    [jnp.zeros(1, v.dtype), jnp.cumsum(v)])[:-1])
+                    for g in grp)
             res = tuple(_ref_apply(g, plan) for g in grp)
             if post_scan:
-                res = tuple(jnp.cumsum(r) for r in res)
+                res = tuple(_sc(r, jnp.cumsum) for r in res)
         for i, r in zip(group, res):
             outs[i] = r
 
     if scans:
-        # scanned outputs are int32 prefix values — no dtype narrowing
+        # scanned outputs are raw prefix arrays: int32, or float32 bits
+        if scan_f32:
+            return tuple(jax.lax.bitcast_convert_type(o[:n_valid],
+                                                      jnp.float32)
+                         for o in outs)
         return tuple(o[:n_valid] for o in outs)
     results = []
     for x, o in zip(xs, outs):

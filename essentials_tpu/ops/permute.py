@@ -437,6 +437,18 @@ def apply_plan_multi(xs, plan: PermutePlan, n_valid: int | None = None,
     n_valid = n if n_valid is None else n_valid
     np_len = plan.length
     dtypes_in = [x.dtype for x in xs]
+    scans = pre_scan_exclusive or post_scan
+    scan_f32 = scans and all(jnp.issubdtype(d, jnp.floating)
+                             for d in dtypes_in)
+
+    def _sc(v, f):
+        if scan_f32:
+            v = jax.lax.bitcast_convert_type(v, jnp.float32)
+        v = f(v)
+        if scan_f32:
+            v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        return v
+
     carriers = []
     for x in xs:
         if x.dtype in (jnp.float32, jnp.uint32):
@@ -446,14 +458,17 @@ def apply_plan_multi(xs, plan: PermutePlan, n_valid: int | None = None,
         if n < np_len:
             x = jnp.pad(x, (0, np_len - n))
         if pre_scan_exclusive:      # scan the padded domain (pads are 0)
-            x = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 jnp.cumsum(x)])[:-1]
+            x = _sc(x, lambda v: jnp.concatenate(
+                [jnp.zeros(1, v.dtype), jnp.cumsum(v)])[:-1])
         carriers.append(x)
     stacked = jnp.stack(carriers)                    # [P, np_len]
     out = _apply(stacked, plan, use_pallas, p=len(xs))
     if post_scan:
-        out = jnp.cumsum(out, axis=1)
-    if pre_scan_exclusive or post_scan:
+        out = _sc(out, lambda v: jnp.cumsum(v, axis=1))
+    if scans:
+        if scan_f32:
+            return tuple(jax.lax.bitcast_convert_type(
+                out[i, :n_valid], jnp.float32) for i in range(len(xs)))
         return tuple(out[i, :n_valid] for i in range(len(xs)))
     results = []
     for i, dt in enumerate(dtypes_in):

@@ -121,13 +121,18 @@ def combine_by_offsets(edge_vals: jax.Array, offsets: jax.Array,
         return nonempty & (cnt == hi_off - lo_off) | ~nonempty  # vacuous True
 
     if combine == Combine.SUM:
-        # int32: exact via wrap-around; float32: one cumsum (difference may
-        # lose low bits of tiny segments inside huge prefixes — acceptable
-        # for rank/flow accumulations, and deterministic).
+        # int32: exact via wrap-around prefix difference. float32: prefer a
+        # SEGMENTED scan (global-cumsum differences accumulate
+        # O(n*eps*prefix) error at 10M+ edges); falls back to the prefix
+        # difference when no segment flags are available.
         if jnp.issubdtype(edge_vals.dtype, jnp.integer) or \
                 edge_vals.dtype == jnp.bool_:
             out = _boundary_diff(_cumsum(_to_i32(edge_vals)), 0)
             return jnp.where(nonempty, out, 0).astype(edge_vals.dtype)
+        if seg_flags is not None:
+            sv = _segscan(edge_vals.astype(jnp.float32), seg_flags, "add")
+            out = sv[jnp.maximum(hi_off - 1, 0)]
+            return jnp.where(nonempty, out, 0.0).astype(edge_vals.dtype)
         out = _boundary_diff(_cumsum(edge_vals.astype(jnp.float32)), 0.0)
         return jnp.where(nonempty, out, 0.0).astype(edge_vals.dtype)
 
@@ -275,18 +280,26 @@ def combine_by_offsets_routed(edge_vals: jax.Array, route: OffsetsRoute,
         g = apply_plan(prefix_ex, route.inv_plan, n_valid=n_seg + 1)
         return _segscan2(g, rs, "first")
 
+    if combine == Combine.SUM and \
+            jnp.issubdtype(edge_vals.dtype, jnp.floating) and \
+            seg_flags is not None:
+        # float SUM: SEGMENTED scan, not global-prefix difference — a global
+        # f32 cumsum at 10M+ edges accumulates O(n*eps*prefix) error that
+        # the per-segment subtraction cannot cancel (measured: abs err ~10
+        # on rmat18 SpMV). Per-segment scans keep error local. Without
+        # flags the (less accurate) prefix-difference path below is used.
+        sv = _segscan2(edge_vals.astype(jnp.float32), seg_flags, "add")
+        pad = jnp.zeros(1, sv.dtype)
+        ff = boundaries(jnp.concatenate([pad, sv]))    # ff[w+1]=sum(seg w)
+        out = jnp.where(route.seg_len > 0, ff[1:], 0.0)
+        return out.astype(edge_vals.dtype)
+
     if combine in (Combine.OR, Combine.AND, Combine.SUM):
         iv = edge_vals
-        if combine == Combine.SUM and jnp.issubdtype(iv.dtype, jnp.floating):
-            # float SUM: real-arithmetic cumsum, unfused (fused route scans
-            # are int32 wrap-around only)
-            s = _pc(iv.astype(jnp.float32))
-            s_ex = jnp.concatenate([jnp.zeros(1, s.dtype), s])
-            ff = boundaries(s_ex)
-            out = ff[1:] - ff[:-1]
-            return out.astype(edge_vals.dtype)
-        if iv.dtype != jnp.int32:
-            iv = iv.astype(jnp.int32)
+        if jnp.issubdtype(iv.dtype, jnp.floating):
+            iv = iv.astype(jnp.float32)   # fused f32 prefix (flagless SUM)
+        elif iv.dtype != jnp.int32:
+            iv = iv.astype(jnp.int32)     # int32 wrap-around fused scan
         # exclusive prefix fused into the backward route's first kernel
         g = apply_plan(iv, route.inv_plan, n_valid=n_seg + 1,
                        pre_scan_exclusive=True)

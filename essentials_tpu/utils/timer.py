@@ -23,9 +23,16 @@ class Timer:
 
     def end(self, sync=None) -> float:
         """Stop; optionally block on ``sync`` (a jax array/pytree) first.
-        Returns elapsed milliseconds."""
+        Returns elapsed milliseconds.
+
+        The fence fetches one element per leaf: on tunneled/remote runtimes
+        block_until_ready alone can return before the device finishes, and a
+        device->host value fetch is the only reliable fence."""
         if sync is not None:
-            jax.block_until_ready(sync)
+            import numpy as np
+            for leaf in jax.tree_util.tree_leaves(sync):
+                if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+                    np.asarray(leaf.ravel()[0])
         self._ms = (time.perf_counter() - self._t0) * 1e3
         return self._ms
 

@@ -103,3 +103,13 @@ def test_combine_routed_float_sum():
     want = np.asarray(combine_by_offsets(ev, jnp.asarray(off), Combine.SUM))
     got = np.asarray(combine_by_offsets_routed(ev, route, Combine.SUM))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # segmented-scan variant (the accurate path used when flags exist):
+    # compare against a float64 per-segment reference
+    seg_flags = np.zeros(ep, bool)
+    seg_flags[off[:-1][np.diff(off) > 0]] = True
+    got2 = np.asarray(combine_by_offsets_routed(
+        ev, route, Combine.SUM, jnp.asarray(seg_flags)))
+    evn = np.asarray(ev, np.float64)
+    ref = np.asarray([evn[off[i]:off[i + 1]].sum() for i in range(n_seg)],
+                     np.float32)
+    np.testing.assert_allclose(got2, ref, rtol=1e-5, atol=1e-5)
