@@ -94,7 +94,8 @@ def run(g: Graph, source: int, *, max_depth: int | None = None,
     """Single-source BC contribution (reference bc.hxx single-source mode)."""
     md = max_depth or g.n_vertices + 1
     if warmup:
-        jax.block_until_ready(_bc_single(g, source, md))
+        from essentials_tpu.utils.timer import fence
+        fence(_bc_single(g, source, md))
     t = Timer().begin()
     delta, levels = _bc_single(g, source, md)
     ms = t.end(sync=delta)
@@ -121,7 +122,8 @@ def run_all(g: Graph, *, sources=None, chunk: int = 32,
     n_pad = (-len(sources)) % chunk
     padded = np.concatenate([sources, np.full(n_pad, sources[0])])
     if warmup:
-        jax.block_until_ready(chunk_fn(g, jnp.asarray(padded[:chunk]), md))
+        from essentials_tpu.utils.timer import fence
+        fence(chunk_fn(g, jnp.asarray(padded[:chunk]), md))
     t = Timer().begin()
     total = jnp.zeros(g.n_vertices_padded, jnp.float32)
     for i in range(0, len(padded), chunk):

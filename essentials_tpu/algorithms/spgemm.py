@@ -76,7 +76,8 @@ def run(a: Csr, b: Csr, *, warmup: bool = True) -> SpgemmResult:
             jnp.asarray(np.asarray(a.values, np.float32)[a_eid]),
             jnp.asarray(np.asarray(b.values, np.float32)[b_eid]))
     if warmup:
-        jax.block_until_ready(_numeric_kernel(*args, W))
+        from essentials_tpu.utils.timer import fence
+        fence(_numeric_kernel(*args, W))
     t = Timer().begin()
     ur, uc, vals, nnz = _numeric_kernel(*args, W)
     ms = t.end(sync=vals)

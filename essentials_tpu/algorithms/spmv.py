@@ -3,8 +3,8 @@
 Reference parity: gunrock::spmv (/root/reference/include/gunrock/algorithms/
 spmv.hxx:77-131): pull variant = segmented reduce over CSR rows
 (neighborreduce), push variant = scatter-add over out-edges. Both are the
-same sorted segment-SUM here; the Pallas row-blocked kernel
-(essentials_tpu.kernels.spmv) is the roofline path for the pull variant.
+same sorted segment-SUM here, running on the fused cube-router + segmented
+Pallas scan engine (ops/cube_router.py, ops/scan_kernels.py).
 """
 
 from __future__ import annotations
@@ -49,7 +49,8 @@ def run(g: Graph, x=None, *, variant: str = "pull", seed: int = 0,
         x = jnp.where(g.vertex_mask(), x, 0.0)
     fn = spmv_pull if variant == "pull" else spmv_push
     if warmup:
-        jax.block_until_ready(fn(g, x))
+        from essentials_tpu.utils.timer import fence
+        fence(fn(g, x))
     t = Timer().begin()
     y = fn(g, x)
     ms = t.end(sync=y)

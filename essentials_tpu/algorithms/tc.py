@@ -2,20 +2,29 @@
 
 Reference parity: gunrock::tc (/root/reference/include/gunrock/algorithms/
 tc.hxx:75-127) which runs a per-edge sorted two-pointer intersection
-(graph/csr.hxx:110-167). A serial two-pointer walk is hostile to SIMD/VPU;
-the TPU-native formulation:
+(graph/csr.hxx:110-167). A serial two-pointer walk (and the per-candidate
+binary search it suggests) is hostile to the TPU — arbitrary gathers
+serialize. Two TPU-native formulations instead:
 
-  1. orient edges by vertex id (u -> v only if u < v): each triangle
-     (a < b < c) is counted exactly once, at edge (a, b) with witness c;
-  2. host-side wedge expansion (static per graph): for each oriented edge
-     (u, v), lay out all candidates c in N+(u) — a flat [W] array,
-     W = sum over edges of d+(src);
-  3. device: one vectorized fixed-depth binary search of each candidate in
-     N+(v) — 32 gather/compare rounds over the whole [W] axis at once,
-     perfectly balanced regardless of degree skew.
+* dense MXU path (V <= 8192): orient edges a<b, build the dense int8
+  adjacency Ao, and count on the systolic array:
+      M  = (Ao @ Ao) * Ao          -> M[u,v] = triangles closed at edge (u,v)
+      total = sum(M);  per-vertex:  u-role = rowsum(M), v-role = colsum(M),
+      witness-role = rowsum((Ao^T @ M) * Ao^T).
+  Three 8k x 8k int8 matmuls are microseconds of MXU time — degree skew
+  is irrelevant.
+
+* tagged-sort path (any V): expand each oriented edge (u,v) into wedges
+  (v, c) for every c in N+(u) (host preprocessing, like the router plans),
+  then test membership of all W wedges against the E oriented edges with
+  ONE multi-key `lax.sort` of the concatenated (key1, key2, tag) records:
+  edges sort before wedges of equal key, so a segmented forward-fill of
+  "segment starts with an edge" marks every triangle wedge. No gathers;
+  perfectly balanced regardless of degree skew.
 
 Returns total triangles and per-vertex counts (each vertex's triangle
-participation), like the reference's vertex_triangles + post-process reduce.
+participation), like the reference's vertex_triangles + post-process
+reduce (tc.hxx:111-127).
 """
 
 from __future__ import annotations
@@ -27,9 +36,10 @@ import jax
 import jax.numpy as jnp
 from functools import partial
 
-from essentials_tpu import dtypes
 from essentials_tpu.formats.csr import Csr
-from essentials_tpu.utils.timer import Timer
+from essentials_tpu.utils.timer import Timer, fence
+
+_DENSE_MAX_V = 8192
 
 
 class TcResult(NamedTuple):
@@ -53,59 +63,108 @@ def _oriented_csr(csr: Csr):
     return noff, s, c
 
 
-@partial(jax.jit, static_argnums=(6,))
-def _count_kernel(wedge_u, wedge_v, wedge_c, row_lo, row_hi, cols_plus, depth):
-    """For each wedge, binary-search wedge_c in cols_plus[row_lo:row_hi]."""
-    lo, hi = row_lo, row_hi
+# ------------------------------------------------------------------ #
+# dense MXU path
 
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) // 2
-        val = cols_plus[jnp.clip(mid, 0, cols_plus.shape[0] - 1)]
-        go_right = val < wedge_c
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+@jax.jit
+def _dense_kernel(ao):
+    """Triangle (a<b<c) algebra over the oriented adjacency Ao:
+    (Ao@Ao)[a,c] sums over the MIDDLE vertex b, so M = (Ao@Ao)*Ao holds
+    the per-(a,c)-edge triangle count; rowsum = smallest-vertex role,
+    colsum = largest-vertex role, and the middle role is
+    rowsum(Ao^T * (Ao@Ao^T))."""
+    a8 = ao.astype(jnp.int8)
+    m = jax.lax.dot(a8, a8, preferred_element_type=jnp.int32)
+    m = m * ao.astype(jnp.int32)
+    total = jnp.sum(m)
+    lo_role = jnp.sum(m, axis=1)                       # a (smallest)
+    hi_role = jnp.sum(m, axis=0)                       # c (largest)
+    p = jax.lax.dot(a8, a8.T, preferred_element_type=jnp.int32)
+    mid_role = jnp.sum(ao.astype(jnp.int32).T * p, axis=1)
+    return total, lo_role + hi_role + mid_role
 
-    lo, hi = jax.lax.fori_loop(0, depth, body, (lo, hi))
-    found = (lo < row_hi) & (cols_plus[jnp.clip(lo, 0, cols_plus.shape[0] - 1)]
-                             == wedge_c)
-    return found
+
+def _run_dense(csr: Csr, warmup: bool) -> TcResult:
+    n = csr.n_rows
+    noff, es, ec = _oriented_csr(csr)
+    vp = -(-n // 128) * 128
+    ao = np.zeros((vp, vp), np.int8)
+    ao[es, ec] = 1
+    ao_d = jnp.asarray(ao)
+    if warmup:
+        fence(_dense_kernel(ao_d))
+    t = Timer().begin()
+    total, vt = _dense_kernel(ao_d)
+    ms = t.end(sync=(total, vt))
+    return TcResult(int(total), np.asarray(vt)[:n].astype(np.int32), ms)
 
 
-def run(csr: Csr, *, warmup: bool = True) -> TcResult:
+# ------------------------------------------------------------------ #
+# tagged-sort path
+
+@jax.jit
+def _sort_kernel(k1, k2, tag, pos):
+    """Sort records by (k1, k2, tag); mark records whose key-segment opens
+    with a tag-0 (edge) record; return (found, pos) in sorted order."""
+    from essentials_tpu.ops.scan_kernels import segmented_scan
+    sk1, sk2, stag, spos = jax.lax.sort((k1, k2, tag, pos), num_keys=3)
+    new_seg = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
+    is_edge_first = new_seg & (stag == 0)
+    # forward-fill "segment opened with an edge" over each key segment
+    ff = segmented_scan(is_edge_first.astype(jnp.int32), new_seg, "first")
+    found = (ff > 0) & (stag == 1)
+    return found, spos
+
+
+def _run_sorted(csr: Csr, warmup: bool) -> TcResult:
     n = csr.n_rows
     noff, es, ec = _oriented_csr(csr)
     deg_plus = np.diff(noff)
+    ne = es.shape[0]
 
     # wedge expansion on host (graph-static preprocessing)
-    w_per_edge = deg_plus[es]                       # candidates per edge
+    w_per_edge = deg_plus[es]
     W = int(w_per_edge.sum())
     if W == 0:
         return TcResult(0, np.zeros(n, np.int32), 0.0)
-    wedge_eid = np.repeat(np.arange(es.shape[0]), w_per_edge)
-    # k-th candidate of edge e -> cols+[noff[src(e)] + k]
+    wedge_eid = np.repeat(np.arange(ne), w_per_edge)
     base = noff[es][wedge_eid]
-    k = np.arange(W) - np.repeat(np.cumsum(w_per_edge) - w_per_edge, w_per_edge)
-    wedge_c = ec[base + k]
-    wedge_u = es[wedge_eid]
-    wedge_v = ec[wedge_eid]
+    k = np.arange(W) - np.repeat(np.cumsum(w_per_edge) - w_per_edge,
+                                 w_per_edge)
+    wedge_c = ec[base + k]                              # candidate witness
+    wedge_v = ec[wedge_eid]                             # test (v, c) edge
 
-    depth = max(int(np.ceil(np.log2(max(deg_plus.max(), 1) + 1))) + 1, 1)
-    args = (jnp.asarray(wedge_u), jnp.asarray(wedge_v), jnp.asarray(wedge_c),
-            jnp.asarray(noff[wedge_v]), jnp.asarray(noff[wedge_v + 1]),
-            jnp.asarray(ec))
+    k1 = jnp.asarray(np.concatenate([es, wedge_v]).astype(np.int32))
+    k2 = jnp.asarray(np.concatenate([ec, wedge_c]).astype(np.int32))
+    tag = jnp.asarray(np.concatenate([np.zeros(ne, np.int8),
+                                      np.ones(W, np.int8)]))
+    pos = jnp.asarray(np.arange(ne + W, dtype=np.int32))
     if warmup:
-        jax.block_until_ready(_count_kernel(*args, depth))
+        fence(_sort_kernel(k1, k2, tag, pos))
     t = Timer().begin()
-    found = _count_kernel(*args, depth)
-    ms = t.end(sync=found)
+    found, spos = _sort_kernel(k1, k2, tag, pos)
+    ms = t.end(sync=(found, spos))
 
     found = np.asarray(found)
-    total = int(found.sum())
+    spos = np.asarray(spos)
+    wfound = np.zeros(ne + W, bool)
+    wfound[spos] = found
+    hit = wfound[ne:]                                   # per-wedge, in order
+    total = int(hit.sum())
     vt = np.zeros(n, np.int64)
-    np.add.at(vt, wedge_u[found], 1)
-    np.add.at(vt, wedge_v[found], 1)
-    np.add.at(vt, wedge_c[found], 1)
+    np.add.at(vt, es[wedge_eid][hit], 1)
+    np.add.at(vt, wedge_v[hit], 1)
+    np.add.at(vt, wedge_c[hit], 1)
     return TcResult(total, vt.astype(np.int32), ms)
+
+
+def run(csr: Csr, *, warmup: bool = True, dense: bool | None = None
+        ) -> TcResult:
+    if dense is None:
+        dense = csr.n_rows <= _DENSE_MAX_V
+    return _run_dense(csr, warmup) if dense else _run_sorted(csr, warmup)
 
 
 def cpu_reference(csr) -> tuple[int, np.ndarray]:

@@ -72,7 +72,10 @@ def enact(step_fn: Callable, converged_fn: Callable | None, graph, init_state,
     if warmup:
         out = _enact_compiled(step_fn, converged_fn, graph, init_state,
                               max_iterations)
-        jax.block_until_ready(out)
+        # value fetch, not block_until_ready: on tunneled runtimes the
+        # latter can return while compilation is still in flight, pushing
+        # the whole compile into the timed region
+        int(out[1])
     t0 = time.perf_counter()
     state, it = _enact_compiled(step_fn, converged_fn, graph, init_state,
                                 max_iterations)

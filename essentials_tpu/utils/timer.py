@@ -12,6 +12,19 @@ import time
 import jax
 
 
+def fence(x) -> None:
+    """Force completion of ``x`` (array or pytree) with a value fetch.
+
+    `jax.block_until_ready` can return while work (even compilation) is
+    still in flight on tunneled/remote runtimes; fetching one element per
+    leaf is the reliable barrier. Use this for warmups and timing fences.
+    """
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(leaf.ravel()[0])
+
+
 class Timer:
     def __init__(self):
         self._t0 = None
@@ -29,10 +42,7 @@ class Timer:
         block_until_ready alone can return before the device finishes, and a
         device->host value fetch is the only reliable fence."""
         if sync is not None:
-            import numpy as np
-            for leaf in jax.tree_util.tree_leaves(sync):
-                if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
-                    np.asarray(leaf.ravel()[0])
+            fence(sync)
         self._ms = (time.perf_counter() - self._t0) * 1e3
         return self._ms
 
