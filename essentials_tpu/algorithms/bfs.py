@@ -21,13 +21,23 @@ from essentials_tpu.frontier import frontier_from_indices
 from essentials_tpu.framework.enactor import enact, default_converged, EnactResult
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine, AdvanceIO
+from essentials_tpu.ops.sparse_advance import (
+    sparse_enabled, compact_frontier, next_frontier_idx, _neighborhoods_idx,
+    DEFAULT_K)
 
 UNREACHED = np.iinfo(np.int32).max
 
 
 class BfsState(NamedTuple):
+    """Hybrid frontier: the boolmap is always maintained; when the frontier
+    fits in ``fidx`` (<= K entries, fvalid) the sparse path runs O(K*dmax)
+    work per level and regenerates the index list from its own candidates
+    (never an O(V) compaction)."""
     distances: jax.Array      # int32[Vp], UNREACHED where not found yet
     frontier: jax.Array       # bool[Vp]
+    fidx: jax.Array           # int32[K] frontier indices (pad_vertex-filled)
+    fcount: jax.Array         # int32: |frontier|
+    fvalid: jax.Array         # bool: fidx is in sync with frontier
 
 
 class BfsResult(NamedTuple):
@@ -41,16 +51,50 @@ def init(g: Graph, source: int | jax.Array) -> BfsState:
     vp = g.n_vertices_padded
     dist = jnp.full(vp, UNREACHED, jnp.int32).at[source].set(0)
     frontier = frontier_from_indices(g, jnp.asarray([source]))
-    return BfsState(dist, frontier)
+    fidx = jnp.full(DEFAULT_K, g.pad_vertex, jnp.int32).at[0].set(source)
+    return BfsState(dist, frontier, fidx, jnp.int32(1),
+                    jnp.asarray(True))
 
 
 def step(g: Graph, state: BfsState, it) -> BfsState:
-    dist, frontier = state
-    reached = advance(g, lambda e: True, frontier,
-                      combine=Combine.OR, with_frontier=False)
-    newly = reached & (dist == UNREACHED)
-    dist = jnp.where(newly, it + 1, dist)
-    return BfsState(dist, newly)
+    """One level. Work-adaptive: small frontiers run the sparse
+    O(|f|*dmax) gather path, large ones the dense O(E) segment engine —
+    a 3-way on-device lax.switch (sparse / compact-then-sparse / dense)
+    inside one compiled loop."""
+    dist, frontier, fidx, fcount, fvalid = state
+    K = DEFAULT_K
+    vp = g.n_vertices_padded
+
+    def dense(_):
+        reached = advance(g, lambda e: True, frontier,
+                          combine=Combine.OR, with_frontier=False)
+        newly = reached & (dist == UNREACHED)
+        return newly, fidx, jnp.count_nonzero(newly), jnp.asarray(False)
+
+    if not sparse_enabled(g):
+        newly, fi, fc, fv = dense(None)
+        return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fv)
+
+    def sparse_body(idx):
+        _, nb, valid = _neighborhoods_idx(g, idx)
+        out = jnp.zeros(vp, jnp.int8).at[nb].max(valid.astype(jnp.int8),
+                                                 mode="drop")
+        newly = (out > 0) & (dist == UNREACHED)
+        keep = valid & newly[nb]
+        nidx, ncount = next_frontier_idx(nb, keep, K, g.pad_vertex)
+        return newly, nidx, ncount, ncount <= K
+
+    def sparse(_):
+        return sparse_body(fidx)
+
+    def compact_then_sparse(_):
+        return sparse_body(compact_frontier(frontier, K, g.pad_vertex))
+
+    branch = jnp.where(fcount <= K,
+                       jnp.where(fvalid, 0, 1), 2).astype(jnp.int32)
+    newly, fi, fc, fv = jax.lax.switch(
+        branch, [sparse, compact_then_sparse, dense], None)
+    return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fv)
 
 
 def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:

@@ -20,12 +20,19 @@ from essentials_tpu.frontier import frontier_from_indices
 from essentials_tpu.framework.enactor import enact, default_converged, EnactResult
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
+from essentials_tpu.ops.sparse_advance import (
+    sparse_enabled, compact_frontier, next_frontier_idx, _neighborhoods_idx,
+    DEFAULT_K)
 
 
 class SsspState(NamedTuple):
+    """Hybrid frontier (see BfsState): boolmap + synced index list."""
     distances: jax.Array      # float32[Vp], +inf where unreached
     predecessors: jax.Array   # int32[Vp], -1 where none
     frontier: jax.Array       # bool[Vp]
+    fidx: jax.Array           # int32[K]
+    fcount: jax.Array         # int32
+    fvalid: jax.Array         # bool
 
 
 class SsspResult(NamedTuple):
@@ -39,29 +46,74 @@ def init(g: Graph, source) -> SsspState:
     vp = g.n_vertices_padded
     dist = jnp.full(vp, jnp.inf, jnp.float32).at[source].set(0.0)
     pred = jnp.full(vp, -1, jnp.int32)
-    return SsspState(dist, pred, frontier_from_indices(g, jnp.asarray([source])))
+    fidx = jnp.full(DEFAULT_K, g.pad_vertex, jnp.int32).at[0].set(source)
+    return SsspState(dist, pred,
+                     frontier_from_indices(g, jnp.asarray([source])),
+                     fidx, jnp.int32(1), jnp.asarray(True))
 
 
 def step(g: Graph, state: SsspState, it) -> SsspState:
-    dist, pred, frontier = state
+    """One relaxation round. Work-adaptive like bfs.step: small frontiers
+    relax K*dmax candidate edges with gathers/scatters (3-way lax.switch),
+    large frontiers run the dense segment engine (two MIN passes: distance
+    + smallest-id predecessor)."""
+    dist, pred, frontier, fidx, fcount, fvalid = state
+    K = DEFAULT_K
+    vp = g.n_vertices_padded
+    imax = jnp.iinfo(jnp.int32).max
 
-    cand = advance(g, lambda e: e.src_vals[0] + e.weight, frontier,
-                   src_values=(dist,), combine=Combine.MIN,
-                   with_frontier=False)
+    def dense(_):
+        cand = advance(g, lambda e: e.src_vals[0] + e.weight, frontier,
+                       src_values=(dist,), combine=Combine.MIN,
+                       with_frontier=False)
+        nd = jnp.minimum(cand, dist)
+
+        # Deterministic predecessor: smallest source id achieving the new
+        # distance at an improved destination.
+        def pred_op(e):
+            achieves = (e.src_vals[0] + e.weight) == e.dst_vals[0]
+            return jnp.where(achieves, e.src, imax)
+
+        cand_pred = advance(g, pred_op, frontier, src_values=(dist,),
+                            dst_values=(nd,), combine=Combine.MIN,
+                            with_frontier=False)
+        improved = cand < dist
+        return (cand, cand_pred, fidx, jnp.count_nonzero(improved),
+                jnp.asarray(False))
+
+    if not sparse_enabled(g):
+        cand, cand_pred, fi, fc, fv = dense(None)
+    else:
+        def sparse_body(idx):
+            e, nb, valid = _neighborhoods_idx(g, idx)
+            src_d = dist[idx]
+            cand_e = jnp.where(valid, src_d[:, None] + g.values[e], jnp.inf)
+            cand = jnp.full(vp, jnp.inf, dist.dtype).at[nb].min(
+                cand_e, mode="drop")
+            achieves = valid & (cand_e == cand[nb])
+            src_ids = jnp.broadcast_to(idx[:, None], nb.shape)
+            cand_pred = jnp.full(vp, imax, jnp.int32).at[nb].min(
+                jnp.where(achieves, src_ids.astype(jnp.int32), imax),
+                mode="drop")
+            improved_nb = valid & (cand[nb] < dist[nb])
+            nidx, ncount = next_frontier_idx(nb, improved_nb, K,
+                                             g.pad_vertex)
+            return cand, cand_pred, nidx, ncount, ncount <= K
+
+        branch = jnp.where(fcount <= K,
+                           jnp.where(fvalid, 0, 1), 2).astype(jnp.int32)
+        cand, cand_pred, fi, fc, fv = jax.lax.switch(
+            branch,
+            [lambda _: sparse_body(fidx),
+             lambda _: sparse_body(compact_frontier(frontier, K,
+                                                    g.pad_vertex)),
+             dense], None)
+
     improved = cand < dist
     new_dist = jnp.where(improved, cand, dist)
-
-    # Deterministic predecessor: smallest source id achieving the new
-    # distance at an improved destination.
-    def pred_op(e):
-        achieves = (e.src_vals[0] + e.weight) == e.dst_vals[0]
-        return jnp.where(achieves, e.src, jnp.iinfo(jnp.int32).max)
-
-    cand_pred = advance(g, pred_op, frontier, src_values=(dist,),
-                        dst_values=(new_dist,), combine=Combine.MIN,
-                        with_frontier=False)
     new_pred = jnp.where(improved, cand_pred, pred)
-    return SsspState(new_dist, new_pred, improved & g.vertex_mask())
+    return SsspState(new_dist, new_pred, improved & g.vertex_mask(),
+                     fi, fc, fv)
 
 
 def run(g: Graph, source: int, *, max_iterations: int | None = None,

@@ -62,7 +62,7 @@ class GraphProperties:
                       "route_fwd", "route_bwd",
                       "off_route_csr", "off_route_csc"],
          meta_fields=["n_vertices", "n_edges", "n_vertices_padded",
-                      "n_edges_padded", "properties"])
+                      "n_edges_padded", "properties", "max_degree"])
 @dataclass(frozen=True)
 class Graph:
     # --- static metadata (pytree aux) ---
@@ -94,6 +94,9 @@ class Graph:
     route_bwd: object | None           # PermutePlan CSC->CSR
     off_route_csr: object | None       # OffsetsRoute over row_offsets
     off_route_csc: object | None       # OffsetsRoute over csc_offsets
+
+    # --- static host-side analytics (pytree aux) ---
+    max_degree: int = 0                # max out-degree over real vertices
 
     # ------------------------------------------------------------------ #
     @property
@@ -219,15 +222,22 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
         if want_router is None:
             want_router = jax.default_backend() == "tpu"
         if want_router:
+            from concurrent.futures import ThreadPoolExecutor
             from essentials_tpu.ops.permute import (route_permutation,
                                                     invert_plan)
             from essentials_tpu.ops.segment import build_offsets_route
             full_eids = np.arange(ep, dtype=np.int64)
             full_eids[:e] = order
-            kw["route_fwd"] = route_permutation(full_eids)
+            # the three plan builds are independent host preprocessing
+            # (native edge coloring releases the GIL) — overlap them
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                f_fwd = ex.submit(route_permutation, full_eids)
+                f_csr = ex.submit(build_offsets_route, row_offsets, ep)
+                f_csc = ex.submit(build_offsets_route, csc_off, ep)
+                kw["route_fwd"] = f_fwd.result()
+                kw["off_route_csr"] = f_csr.result()
+                kw["off_route_csc"] = f_csc.result()
             kw["route_bwd"] = invert_plan(kw["route_fwd"])
-            kw["off_route_csr"] = build_offsets_route(row_offsets, ep)
-            kw["off_route_csc"] = build_offsets_route(csc_off, ep)
     else:
         kw.update(csc_offsets=None, csc_src_indices=None, csc_dst_indices=None,
                   csc_values=None, csc_edge_ids=None)
@@ -235,6 +245,7 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
     g = Graph(
         n_vertices=v, n_edges=e, n_vertices_padded=vp, n_edges_padded=ep,
         properties=GraphProperties(directed=directed, weighted=weighted),
+        max_degree=int(np.diff(csr.row_offsets).max()) if e else 0,
         row_offsets=row_offsets,
         col_indices=col,
         src_indices=src,

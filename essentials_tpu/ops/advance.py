@@ -92,6 +92,22 @@ def _expand_and_route(g: Graph, frontier, input_kind: AdvanceIO,
     else:
         raise ValueError(input_kind)
 
+    # fast path: every payload comes from the src expansion and both the
+    # offsets route and the CSR->CSC route are cube plans of equal length —
+    # chain them (expand's final kernel + cumsum + route's first kernel
+    # fuse into one pallas_call; ops/cube_router.apply_cube_chain)
+    if to_expand and edge_payload is None and \
+            g.off_route_csr is not None and g.route_fwd is not None:
+        from essentials_tpu.ops.cube_router import chainable
+        from essentials_tpu.ops.segment import expand_multi_then_route
+        if chainable(g.off_route_csr.plan, g.route_fwd):
+            routed = expand_multi_then_route(tuple(to_expand),
+                                             g.off_route_csr, g.route_fwd,
+                                             n_valid=ep)
+            if static_active is None:
+                return routed[-1] != 0, tuple(routed[:-1])
+            return static_active, tuple(routed)
+
     payloads = list(_expand_src_multi(g, to_expand)) if to_expand else []
     if edge_payload is not None:
         payloads.append(edge_payload)

@@ -545,3 +545,165 @@ def apply_cube_plan(xs, plan: CubePlan, n_valid: int | None = None,
             o = o.astype(dt)
         results.append(o)
     return tuple(results)
+
+
+# ------------------------------------------------------------------ #
+# chained application: route_a -> inclusive scan -> route_b
+#
+# The expand -> CSR->CSC advance pipeline runs two full routes with a
+# cumsum between (ops/advance.py). Fusing route_a's last kernel, the scan,
+# and route_b's first kernel into ONE pallas_call saves an HBM round trip
+# of every payload per superstep.
+
+def _kmid_kernel(scan_f32, xa_ref, i6a_ref, i0b_ref, i1b_ref, o_ref,
+                 carry_ref):
+    """K3(plan_a) + inclusive scan + K1(plan_b) on one m-slab."""
+    x = _widen(xa_ref[0])                                 # [C, 8, B]
+    x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
+    x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
+    x = _g2(x, i6a_ref[...])                              # finish route_a
+    x = _block_cumsum(x, carry_ref, False, scan_f32)      # fused scan
+    x = _g2(x, i0b_ref[...])                              # start route_b
+    x = jnp.swapaxes(x, 1, 2)                             # [8, C, B]
+    x = _g2(x, i1b_ref[...])
+    out = jnp.swapaxes(x, 0, 1)                           # [C, 8, B]
+    o_ref[0] = out if out.dtype == o_ref.dtype else out.astype(o_ref.dtype)
+
+
+def chainable(plan_a, plan_b) -> bool:
+    return (isinstance(plan_a, CubePlan) and isinstance(plan_b, CubePlan)
+            and plan_a.form == plan_b.form
+            and plan_a.length == plan_b.length)
+
+
+def apply_cube_chain(xs, plan_a: CubePlan, plan_b: CubePlan,
+                     n_valid: int | None = None,
+                     *, use_pallas: bool | None = None):
+    """out = route_b(cumsum(route_a(x))) for every payload, with the
+    middle K3a/scan/K1b fused. int32 wrap-around scan semantics (the
+    telescoping expansion's contract). Requires chainable(plan_a, plan_b).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert chainable(plan_a, plan_b)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = xs[0].shape[0]
+    n_valid = n if n_valid is None else n_valid
+    L = plan_a.length
+
+    dtypes_in = [x.dtype for x in xs]
+    carriers = []
+    for x in xs:
+        if x.dtype in (jnp.float32, jnp.uint32):
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        elif x.dtype != jnp.int32:
+            x = x.astype(jnp.int32)
+        if n < L:
+            x = jnp.pad(x, (0, L - n))
+        carriers.append(x)
+
+    if not use_pallas:
+        mids = [jnp.cumsum(_ref_apply(c, plan_a)) for c in carriers]
+        outs = [_ref_apply(m, plan_b) for m in mids]
+    else:
+        sa = [jnp.asarray(a) for a in plan_a.stages]
+        sb = [jnp.asarray(a) for a in plan_b.stages]
+        P = len(carriers)
+        x = jnp.stack(carriers)
+        dt = x.dtype
+
+        def bs(shp, im):
+            return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+
+        if plan_a.form == "wbc":
+            M = plan_a.wide
+            i0a, i1a, i6a = sa[0], sa[1], sa[4]
+            i0b, i1b, i6b = sb[0], sb[1], sb[4]
+            k2a_kernel = partial(_k2_wbc_kernel, M)
+            k2a_idx = [(sa[2], bs((1, LANES, M), lambda c, p: (c, 0, 0))),
+                       (sa[3], bs((1, M, LANES), lambda c, p: (c, 0, 0)))]
+            k2b_kernel = partial(_k2_wbc_kernel, M)
+            k2b_idx = [(sb[2], bs((1, LANES, M), lambda c, p: (c, 0, 0))),
+                       (sb[3], bs((1, M, LANES), lambda c, p: (c, 0, 0)))]
+        else:
+            T = plan_a.wide
+            M = T * LANES
+            i0a = sa[0].reshape(M, LANES, LANES)
+            i1a = sa[1].reshape(M, LANES, LANES)
+            i6a = sa[6].reshape(M, LANES, LANES)
+            i0b = sb[0].reshape(M, LANES, LANES)
+            i1b = sb[1].reshape(M, LANES, LANES)
+            i6b = sb[6].reshape(M, LANES, LANES)
+            k2a_kernel = partial(_k2_tfbc_kernel, T)
+            k2a_idx = [
+                (sa[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+                (sa[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+                (sa[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+                (sa[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
+            k2b_idx = [
+                (sb[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+                (sb[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+                (sb[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+                (sb[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
+            k2b_kernel = partial(_k2_tfbc_kernel, T)
+
+        vmem = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+                if plan_a.form == "tfbc" else None)
+        xm = x.reshape(P, M, LANES, LANES)
+        k1 = pl.pallas_call(
+            partial(_k1_kernel, False, False), grid=(M // _MSLAB, P),
+            in_specs=[bs((1, _MSLAB, LANES, LANES),
+                         lambda m, p: (p, m, 0, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+            out_specs=bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+        )(xm, i0a, i1a)
+        k2a = pl.pallas_call(
+            k2a_kernel, grid=(LANES, P),
+            in_specs=[bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0))]
+            + [spec for _, spec in k2a_idx],
+            out_specs=bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+            compiler_params=vmem,
+        )(k1, *[a for a, _ in k2a_idx])
+        kmid = pl.pallas_call(
+            partial(_kmid_kernel, False), grid=(M // _MSLAB, P),
+            in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+            out_specs=bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+            scratch_shapes=[pltpu.SMEM((P,), jnp.int32)],
+        )(k2a, i6a, i0b, i1b)
+        k2b = pl.pallas_call(
+            k2b_kernel, grid=(LANES, P),
+            in_specs=[bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0))]
+            + [spec for _, spec in k2b_idx],
+            out_specs=bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+            compiler_params=vmem,
+        )(kmid, *[a for a, _ in k2b_idx])
+        k3 = pl.pallas_call(
+            partial(_k3_kernel, False, False), grid=(M // _MSLAB, P),
+            in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+            out_specs=bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, M, LANES, LANES), dt),
+        )(k2b, i6b)
+        outs = [k3.reshape(P, L)[i] for i in range(P)]
+
+    results = []
+    for dt_in, o in zip(dtypes_in, outs):
+        o = o[:n_valid]
+        if dt_in in (jnp.float32, jnp.uint32):
+            o = jax.lax.bitcast_convert_type(o, dt_in)
+        elif dt_in == jnp.bool_:
+            o = o != 0
+        elif o.dtype != dt_in:
+            o = o.astype(dt_in)
+        results.append(o)
+    return tuple(results)

@@ -38,18 +38,28 @@ def neighbor_reduce(g: Graph, message_fn: Callable, *,
     ep = g.n_edges_padded
     src_vals = _expand_src_multi(g, tuple(src_values))
     if dst_values:
-        if g.off_route_csc is not None:
-            expanded = list(expand_multi_routed(tuple(dst_values),
-                                                g.off_route_csc))
-        else:
-            expanded = [expand_vertex_to_edges(v, g.csc_offsets, ep)
-                        for v in dst_values]
-        if g.route_bwd is not None:
-            from essentials_tpu.ops.permute import apply_plan_multi
-            dst_vals = apply_plan_multi(tuple(expanded), g.route_bwd)
-        else:
-            routed = apply_permutation(g.csc_edge_ids, *expanded)
-            dst_vals = (routed,) if len(expanded) == 1 else tuple(routed)
+        chained = False
+        if g.off_route_csc is not None and g.route_bwd is not None:
+            from essentials_tpu.ops.cube_router import chainable
+            if chainable(g.off_route_csc.plan, g.route_bwd):
+                from essentials_tpu.ops.segment import expand_multi_then_route
+                dst_vals = expand_multi_then_route(
+                    tuple(dst_values), g.off_route_csc, g.route_bwd,
+                    n_valid=ep)
+                chained = True
+        if not chained:
+            if g.off_route_csc is not None:
+                expanded = list(expand_multi_routed(tuple(dst_values),
+                                                    g.off_route_csc))
+            else:
+                expanded = [expand_vertex_to_edges(v, g.csc_offsets, ep)
+                            for v in dst_values]
+            if g.route_bwd is not None:
+                from essentials_tpu.ops.permute import apply_plan_multi
+                dst_vals = apply_plan_multi(tuple(expanded), g.route_bwd)
+            else:
+                routed = apply_permutation(g.csc_edge_ids, *expanded)
+                dst_vals = (routed,) if len(expanded) == 1 else tuple(routed)
     else:
         dst_vals = ()
 

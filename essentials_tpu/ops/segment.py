@@ -264,6 +264,26 @@ def expand_multi_routed(vertex_vals_list, route: OffsetsRoute):
     return tuple(_from_i32(r, dt) for r, dt in zip(routed, dts))
 
 
+def expand_multi_then_route(vertex_vals_list, route: OffsetsRoute,
+                            fwd_plan, n_valid: int):
+    """Fused expand + follow-up permutation: route_b(cumsum(route_a(d))).
+
+    Equivalent to expand_multi_routed(...) followed by
+    apply_plan_multi(..., fwd_plan) but the boundary kernels are chained
+    (one fewer HBM round trip per payload). Caller must check
+    cube_router.chainable(route.plan, fwd_plan)."""
+    from essentials_tpu.ops.cube_router import apply_cube_chain
+    dds, dts = [], []
+    for v in vertex_vals_list:
+        iv = _to_i32(v)
+        d = jnp.diff(iv, prepend=jnp.zeros(1, jnp.int32))
+        dds.append(_run_totals(d, route))
+        dts.append(v.dtype)
+    routed = apply_cube_chain(tuple(dds), route.plan, fwd_plan,
+                              n_valid=n_valid)
+    return tuple(_from_i32(r, dt) for r, dt in zip(routed, dts))
+
+
 def combine_by_offsets_routed(edge_vals: jax.Array, route: OffsetsRoute,
                               combine: Combine,
                               seg_flags: jax.Array | None = None
