@@ -49,16 +49,22 @@ class TcResult(NamedTuple):
 
 
 def _oriented_csr(csr: Csr):
-    """Host: id-oriented (u<v) CSR with sorted rows."""
+    """Host: degree-oriented CSR (edge kept from lower to higher
+    (degree, id)) with sorted rows. Degree orientation bounds each
+    oriented out-degree by ~sqrt(2E), keeping wedge rows short on
+    hub-heavy graphs (id orientation leaves hub rows of size ~V)."""
+    n = csr.n_rows
     off = np.asarray(csr.row_offsets)
     cols = np.asarray(csr.col_indices)
-    src = np.repeat(np.arange(csr.n_rows), np.diff(off))
-    keep = src < cols
+    deg_all = np.diff(off).astype(np.int64)
+    rank = deg_all * (n + 1) + np.arange(n)     # total order (degree, id)
+    src = np.repeat(np.arange(n), deg_all)
+    keep = rank[src] < rank[cols]
     s, c = src[keep], cols[keep]
     order = np.lexsort((c, s))
     s, c = s[order], c[order]
-    deg = np.bincount(s, minlength=csr.n_rows)
-    noff = np.zeros(csr.n_rows + 1, np.int64)
+    deg = np.bincount(s, minlength=n)
+    noff = np.zeros(n + 1, np.int64)
     np.cumsum(deg, out=noff[1:])
     return noff, s, c
 
@@ -118,45 +124,70 @@ def _sort_kernel(k1, k2, tag, pos):
     return found, spos
 
 
+_WEDGE_CHUNK = 1 << 24          # wedges per device batch (~16M)
+
+
 def _run_sorted(csr: Csr, warmup: bool) -> TcResult:
     n = csr.n_rows
     noff, es, ec = _oriented_csr(csr)
     deg_plus = np.diff(noff)
     ne = es.shape[0]
 
-    # wedge expansion on host (graph-static preprocessing)
-    w_per_edge = deg_plus[es]
+    w_per_edge = deg_plus[es].astype(np.int64)
     W = int(w_per_edge.sum())
     if W == 0:
         return TcResult(0, np.zeros(n, np.int32), 0.0)
-    wedge_eid = np.repeat(np.arange(ne), w_per_edge)
-    base = noff[es][wedge_eid]
-    k = np.arange(W) - np.repeat(np.cumsum(w_per_edge) - w_per_edge,
-                                 w_per_edge)
-    wedge_c = ec[base + k]                              # candidate witness
-    wedge_v = ec[wedge_eid]                             # test (v, c) edge
 
-    k1 = jnp.asarray(np.concatenate([es, wedge_v]).astype(np.int32))
-    k2 = jnp.asarray(np.concatenate([ec, wedge_c]).astype(np.int32))
-    tag = jnp.asarray(np.concatenate([np.zeros(ne, np.int8),
-                                      np.ones(W, np.int8)]))
-    pos = jnp.asarray(np.arange(ne + W, dtype=np.int32))
-    if warmup:
-        fence(_sort_kernel(k1, k2, tag, pos))
-    t = Timer().begin()
-    found, spos = _sort_kernel(k1, k2, tag, pos)
-    ms = t.end(sync=(found, spos))
+    # split the edge list so each batch's wedge expansion stays bounded
+    # (host memory AND device sort size) — kron-style graphs can have
+    # billions of wedges
+    wc = np.concatenate([[0], np.cumsum(w_per_edge)])
+    bounds = [0]
+    while bounds[-1] < ne:
+        nxt = int(np.searchsorted(wc, wc[bounds[-1]] + _WEDGE_CHUNK,
+                                  side="right")) - 1
+        bounds.append(max(nxt, bounds[-1] + 1))
+    chunk_cap = int(max(wc[bounds[i + 1]] - wc[bounds[i]]
+                        for i in range(len(bounds) - 1)))
 
-    found = np.asarray(found)
-    spos = np.asarray(spos)
-    wfound = np.zeros(ne + W, bool)
-    wfound[spos] = found
-    hit = wfound[ne:]                                   # per-wedge, in order
-    total = int(hit.sum())
+    total = 0
     vt = np.zeros(n, np.int64)
-    np.add.at(vt, es[wedge_eid][hit], 1)
-    np.add.at(vt, wedge_v[hit], 1)
-    np.add.at(vt, wedge_c[hit], 1)
+    ms = 0.0
+    first = True
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        wpe = w_per_edge[lo:hi]
+        Wc = int(wpe.sum())
+        wedge_eid = np.repeat(np.arange(lo, hi), wpe)
+        base = noff[es[wedge_eid]] + (
+            np.arange(Wc) - np.repeat(wc[lo:hi] - wc[lo], wpe))
+        wedge_c = ec[base]                              # candidate witness
+        wedge_v = ec[wedge_eid]                         # test (v, c) edge
+
+        pad = chunk_cap - Wc
+        big = np.int32(2**30 - 1)
+        k1 = jnp.asarray(np.concatenate(
+            [es, wedge_v, np.full(pad, big)]).astype(np.int32))
+        k2 = jnp.asarray(np.concatenate(
+            [ec, wedge_c, np.full(pad, big)]).astype(np.int32))
+        tag = jnp.asarray(np.concatenate(
+            [np.zeros(ne, np.int8), np.ones(Wc + pad, np.int8)]))
+        pos = jnp.asarray(np.arange(ne + chunk_cap, dtype=np.int32))
+        if warmup and first:
+            fence(_sort_kernel(k1, k2, tag, pos))
+            first = False
+        t = Timer().begin()
+        found, spos = _sort_kernel(k1, k2, tag, pos)
+        ms += t.end(sync=(found, spos))
+
+        found = np.asarray(found)
+        spos = np.asarray(spos)
+        wfound = np.zeros(ne + chunk_cap, bool)
+        wfound[spos] = found
+        hit = wfound[ne:ne + Wc]                        # per-wedge, in order
+        total += int(hit.sum())
+        np.add.at(vt, es[wedge_eid][hit], 1)
+        np.add.at(vt, wedge_v[hit], 1)
+        np.add.at(vt, wedge_c[hit], 1)
     return TcResult(total, vt.astype(np.int32), ms)
 
 
