@@ -18,12 +18,19 @@ from essentials_tpu.frontier import full_frontier
 from essentials_tpu.framework.enactor import enact, default_converged, EnactResult
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
+from essentials_tpu.ops.sparse_advance import (
+    sparse_enabled, compact_frontier, _neighborhoods_idx, DEFAULT_K)
 
 
 class ColorState(NamedTuple):
+    """The uncolored set only SHRINKS, so once it fits the index list the
+    sparse path keeps it current by filtering (no O(V) recompaction)."""
     colors: jax.Array       # int32[Vp], -1 = uncolored
     randoms: jax.Array      # float32[Vp] random priorities
     frontier: jax.Array     # bool[Vp] uncolored vertices
+    fidx: jax.Array         # int32[K]
+    fcount: jax.Array       # int32
+    fvalid: jax.Array       # bool
 
 
 class ColorResult(NamedTuple):
@@ -38,26 +45,68 @@ def init(g: Graph, seed: int = 0) -> ColorState:
     # strictly tie-free priorities: random permutation rank per vertex
     randoms = jax.random.permutation(key, vp).astype(jnp.float32)
     colors = jnp.full(vp, -1, jnp.int32)
-    return ColorState(colors, randoms, full_frontier(g))
+    return ColorState(colors, randoms, full_frontier(g),
+                      jnp.full(DEFAULT_K, g.pad_vertex, jnp.int32),
+                      jnp.int32(g.n_vertices), jnp.asarray(False))
 
 
 def step(g: Graph, state: ColorState, it) -> ColorState:
-    colors, randoms, frontier = state
+    colors, randoms, frontier, fidx, fcount, fvalid = state
+    K = DEFAULT_K
+    vp = g.n_vertices_padded
 
-    # max / min priority among *uncolored* neighbors of each vertex;
-    # ONE expansion + routing feeds both combines (advance_multi).
-    from essentials_tpu.ops import advance_multi
-    nbr_max, nbr_min = advance_multi(
-        g,
-        [(lambda e: e.src_vals[0], Combine.MAX),
-         (lambda e: e.src_vals[0], Combine.MIN)],
-        frontier, src_values=(randoms,))
+    def dense(_):
+        # max / min priority among *uncolored* neighbors of each vertex;
+        # ONE expansion + routing feeds both combines (advance_multi).
+        from essentials_tpu.ops import advance_multi
+        nbr_max, nbr_min = advance_multi(
+            g,
+            [(lambda e: e.src_vals[0], Combine.MAX),
+             (lambda e: e.src_vals[0], Combine.MIN)],
+            frontier, src_values=(randoms,))
+        return nbr_max, nbr_min, fidx, jnp.asarray(False)
 
-    is_max = frontier & (randoms > nbr_max)
-    is_min = frontier & (randoms < nbr_min) & ~is_max
-    colors = jnp.where(is_max, 2 * it, colors)
-    colors = jnp.where(is_min, 2 * it + 1, colors)
-    return ColorState(colors, randoms, frontier & ~(is_max | is_min))
+    def finish(nbr_max, nbr_min, fi, fv):
+        is_max = frontier & (randoms > nbr_max)
+        is_min = frontier & (randoms < nbr_min) & ~is_max
+        nc = jnp.where(is_max, 2 * it, colors)
+        nc = jnp.where(is_min, 2 * it + 1, nc)
+        nf = frontier & ~(is_max | is_min)
+        if fv is None:
+            return nc, nf
+        # filter the index list down to still-uncolored entries
+        keep = nf[fi] & (fi != g.pad_vertex)
+        fi2 = jnp.sort(jnp.where(keep, fi, jnp.int32(2**30)))
+        fi2 = jnp.where(fi2 < 2**30, fi2, g.pad_vertex)
+        return nc, nf, fi2, jnp.sum(keep), fv
+
+    if not sparse_enabled(g):
+        nbr_max, nbr_min, _, _ = dense(None)
+        nc, nf = finish(nbr_max, nbr_min, None, None)
+        return ColorState(nc, randoms, nf, fidx, fcount, fvalid)
+
+    def sparse_body(idx):
+        _, nb, valid = _neighborhoods_idx(g, idx)
+        pri = jnp.where(valid & (idx != g.pad_vertex)[:, None],
+                        randoms[idx][:, None], 0.0)
+        ninf = jnp.float32(-1.0)
+        nbr_max = jnp.full(vp, ninf, jnp.float32).at[nb].max(
+            jnp.where(valid, pri, ninf), mode="drop")
+        big = jnp.float32(vp + 1)
+        nbr_min = jnp.full(vp, big, jnp.float32).at[nb].min(
+            jnp.where(valid, pri, big), mode="drop")
+        return nbr_max, nbr_min, idx, jnp.asarray(True)
+
+    branch = jnp.where(fcount <= K, jnp.where(fvalid, 0, 1), 2)
+    nbr_max, nbr_min, fi, fv = jax.lax.switch(
+        branch.astype(jnp.int32),
+        [lambda _: sparse_body(fidx),
+         lambda _: sparse_body(compact_frontier(frontier, K, g.pad_vertex)),
+         dense], None)
+    nc, nf, fi2, cnt, _ = finish(nbr_max, nbr_min, fi, fv)
+    # after a dense round the count comes from the mask instead
+    cnt = jnp.where(fv, cnt, jnp.count_nonzero(nf))
+    return ColorState(nc, randoms, nf, fi2, cnt, fv)
 
 
 def run(g: Graph, *, seed: int = 0, max_iterations: int | None = None,

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from essentials_tpu.framework.enactor import enact, EnactResult
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
+from essentials_tpu.ops.sparse_advance import (
+    sparse_enabled, compact_frontier, _neighborhoods_idx, DEFAULT_K)
 
 
 class KcoreState(NamedTuple):
@@ -42,18 +44,41 @@ def init(g: Graph) -> KcoreState:
 
 
 def step(g: Graph, state: KcoreState, it) -> KcoreState:
+    """One peeling sweep. k-bump rounds (empty peel) skip the O(E) advance
+    entirely; small peel sets take the sparse O(|peel|*dmax) path on
+    low-degree graphs."""
     core, deg, alive, k = state
+    vp = g.n_vertices_padded
     peel = alive & (deg < k)
     # removed vertices get core number k-1
     core = jnp.where(peel, k - 1, core)
     alive = alive & ~peel
-    # subtract removed neighbors' contributions
-    removed_nbrs = advance(g, lambda e: 1, peel,
-                           combine=Combine.SUM, with_frontier=False)
-    deg = deg - removed_nbrs.astype(jnp.int32)
+
+    def dense(_):
+        out = advance(g, lambda e: 1, peel,
+                      combine=Combine.SUM, with_frontier=False)
+        return out.astype(jnp.int32)
+
+    def skip(_):
+        return jnp.zeros(vp, jnp.int32)
+
+    cnt = jnp.count_nonzero(peel)
+    if sparse_enabled(g):
+        def sparse(_):
+            idx = compact_frontier(peel, DEFAULT_K, g.pad_vertex)
+            _, nb, valid = _neighborhoods_idx(g, idx)
+            return jnp.zeros(vp, jnp.int32).at[nb].add(
+                valid.astype(jnp.int32), mode="drop")
+
+        branch = jnp.where(cnt == 0, 0,
+                           jnp.where(cnt <= DEFAULT_K, 1, 2))
+        removed_nbrs = jax.lax.switch(branch.astype(jnp.int32),
+                                      [skip, sparse, dense], None)
+    else:
+        removed_nbrs = jax.lax.cond(cnt == 0, skip, dense, None)
+    deg = deg - removed_nbrs
     # if nothing peeled this sweep, advance k
-    any_peeled = jnp.any(peel)
-    k = jnp.where(any_peeled, k, k + 1)
+    k = jnp.where(cnt > 0, k, k + 1)
     return KcoreState(core, deg, alive, k)
 
 

@@ -30,10 +30,13 @@ def main(argv=None):
                                 description="TPU-native graph analytics")
     p.add_argument("algorithm",
                    choices=["bfs", "sssp", "pr", "ppr", "bc", "color", "kcore",
-                            "hits", "spmv", "tc", "mst", "spgemm"])
+                            "hits", "spmv", "tc", "mst", "spgemm", "geo"])
     p.add_argument("graph", help=".mtx/.smtx/.csr.npz graph file")
     p.add_argument("--source", type=int, default=0,
                    help="source vertex (bfs/sssp/ppr/bc)")
+    p.add_argument("--labels", default=None,
+                   help="geo: labels file of 'vertex lat lon' lines "
+                        "(default: synthetic 10%% seeded locations)")
     p.add_argument("--runs", type=int, default=5, help="timed runs (mean of)")
     p.add_argument("--undirected", action="store_true",
                    help="treat graph as undirected/symmetric")
@@ -132,6 +135,28 @@ def main(argv=None):
         if args.validate:
             ref = A.spgemm.cpu_reference(csr, csr)
             errors = int(not np.array_equal(res.c.col_indices, ref.col_indices))
+    elif name == "geo":
+        vp = g.n_vertices_padded
+        lat = np.full(vp, np.nan, np.float32)
+        lon = np.full(vp, np.nan, np.float32)
+        if args.labels:
+            # reference parity: geo example labels file
+            # (examples/algorithms/geo/geo.cu:32-90): "<vertex> <lat> <lon>"
+            data = np.loadtxt(args.labels, ndmin=2)
+            ids = data[:, 0].astype(np.int64)
+            lat[ids], lon[ids] = data[:, 1], data[:, 2]
+        else:
+            rng = np.random.default_rng(0)
+            n_seed = max(g.n_vertices // 10, 1)
+            ids = rng.choice(g.n_vertices, n_seed, replace=False)
+            lat[ids] = rng.uniform(-60, 60, n_seed)
+            lon[ids] = rng.uniform(-180, 180, n_seed)
+        res, ms = timed(A.geo.run, g, lat, lon)
+        if args.validate:
+            rl, ro = A.geo.cpu_reference(csr, lat[:g.n_vertices],
+                                         lon[:g.n_vertices])
+            errors = compare(res.lat, rl, atol=1e-2, rtol=1e-3) + \
+                compare(res.lon, ro, atol=1e-2, rtol=1e-3)
 
     iters = getattr(res, "iterations", 1)
     stats = collect_stats(name, extract_dataset(args.graph), g if name != "tc"
