@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_ROWS = 512                      # rows per grid block (R*128 elems, 256 KB f32)
+_ROWS = 1024                     # rows per grid block (R*128 elems, 512 KB f32)
 _INTERPRET = False               # set True in tests to run kernels on CPU
 
 
