@@ -23,7 +23,7 @@ from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine, AdvanceIO
 from essentials_tpu.ops.sparse_advance import (
     sparse_enabled, compact_frontier, next_frontier_idx, _neighborhoods_idx,
-    DEFAULT_K)
+    frontier_idx_ok, k_for)
 
 UNREACHED = np.iinfo(np.int32).max
 
@@ -51,49 +51,51 @@ def init(g: Graph, source: int | jax.Array) -> BfsState:
     vp = g.n_vertices_padded
     dist = jnp.full(vp, UNREACHED, jnp.int32).at[source].set(0)
     frontier = frontier_from_indices(g, jnp.asarray([source]))
-    fidx = jnp.full(DEFAULT_K, g.pad_vertex, jnp.int32).at[0].set(source)
+    fidx = jnp.full(k_for(g), g.pad_vertex, jnp.int32).at[0].set(source)
     return BfsState(dist, frontier, fidx, jnp.int32(1),
-                    jnp.asarray(True))
+                    frontier_idx_ok(g, fidx, jnp.int32(1)))
 
 
 def step(g: Graph, state: BfsState, it) -> BfsState:
-    """One level. Work-adaptive: small frontiers run the sparse
-    O(|f|*dmax) gather path, large ones the dense O(E) segment engine —
-    a 3-way on-device lax.switch (sparse / compact-then-sparse / dense)
-    inside one compiled loop."""
+    """One level. Work-adaptive lax.cond: frontiers whose index list is
+    current AND whose members' degrees fit the candidate matrix run the
+    sparse O(|f|*dmax) gather path; everything else runs the dense O(E)
+    segment engine (which also compacts the next index list, so skewed
+    graphs still go sparse for their low-degree tail levels)."""
     dist, frontier, fidx, fcount, fvalid = state
-    K = DEFAULT_K
+    K = k_for(g)
     vp = g.n_vertices_padded
 
-    def dense(_):
-        reached = advance(g, lambda e: True, frontier,
-                          combine=Combine.OR, with_frontier=False)
-        newly = reached & (dist == UNREACHED)
-        return newly, fidx, jnp.count_nonzero(newly), jnp.asarray(False)
+    def dense_reach(f):
+        return advance(g, lambda e: True, f,
+                       combine=Combine.OR, with_frontier=False)
 
     if not sparse_enabled(g):
-        newly, fi, fc, fv = dense(None)
-        return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fv)
+        newly = dense_reach(frontier) & (dist == UNREACHED)
+        return BfsState(jnp.where(newly, it + 1, dist), newly, fidx,
+                        jnp.int32(0), jnp.asarray(False))
 
-    def sparse_body(idx):
-        _, nb, valid = _neighborhoods_idx(g, idx)
+    def sparse(_):
+        _, nb, valid = _neighborhoods_idx(g, fidx)
         out = jnp.zeros(vp, jnp.int8).at[nb].max(valid.astype(jnp.int8),
                                                  mode="drop")
         newly = (out > 0) & (dist == UNREACHED)
         keep = valid & newly[nb]
         nidx, ncount = next_frontier_idx(nb, keep, K, g.pad_vertex)
-        return newly, nidx, ncount, ncount <= K
+        return newly, nidx, ncount
 
-    def sparse(_):
-        return sparse_body(fidx)
+    def dense(_):
+        newly = dense_reach(frontier) & (dist == UNREACHED)
+        fc = jnp.count_nonzero(newly)
+        # compact only when the next frontier fits (transition rounds);
+        # big-frontier rounds skip the O(V) sort
+        nidx = jax.lax.cond(
+            fc <= K, lambda m: compact_frontier(m, K, g.pad_vertex),
+            lambda m: jnp.full(K, g.pad_vertex, jnp.int32), newly)
+        return newly, nidx, fc
 
-    def compact_then_sparse(_):
-        return sparse_body(compact_frontier(frontier, K, g.pad_vertex))
-
-    branch = jnp.where(fcount <= K,
-                       jnp.where(fvalid, 0, 1), 2).astype(jnp.int32)
-    newly, fi, fc, fv = jax.lax.switch(
-        branch, [sparse, compact_then_sparse, dense], None)
+    newly, fi, fc = jax.lax.cond(fvalid, sparse, dense, None)
+    fv = (fc <= K) & frontier_idx_ok(g, fi, fc)
     return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fv)
 
 

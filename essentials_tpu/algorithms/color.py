@@ -19,7 +19,8 @@ from essentials_tpu.framework.enactor import enact, default_converged, EnactResu
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
-    sparse_enabled, compact_frontier, _neighborhoods_idx, DEFAULT_K)
+    sparse_enabled, compact_frontier, _neighborhoods_idx, frontier_idx_ok,
+    k_for)
 
 
 class ColorState(NamedTuple):
@@ -46,66 +47,67 @@ def init(g: Graph, seed: int = 0) -> ColorState:
     randoms = jax.random.permutation(key, vp).astype(jnp.float32)
     colors = jnp.full(vp, -1, jnp.int32)
     return ColorState(colors, randoms, full_frontier(g),
-                      jnp.full(DEFAULT_K, g.pad_vertex, jnp.int32),
+                      jnp.full(k_for(g), g.pad_vertex, jnp.int32),
                       jnp.int32(g.n_vertices), jnp.asarray(False))
 
 
 def step(g: Graph, state: ColorState, it) -> ColorState:
     colors, randoms, frontier, fidx, fcount, fvalid = state
-    K = DEFAULT_K
+    K = k_for(g)
     vp = g.n_vertices_padded
 
-    def dense(_):
+    def dense_sweep(f):
         # max / min priority among *uncolored* neighbors of each vertex;
         # ONE expansion + routing feeds both combines (advance_multi).
         from essentials_tpu.ops import advance_multi
-        nbr_max, nbr_min = advance_multi(
+        return advance_multi(
             g,
             [(lambda e: e.src_vals[0], Combine.MAX),
              (lambda e: e.src_vals[0], Combine.MIN)],
-            frontier, src_values=(randoms,))
-        return nbr_max, nbr_min, fidx, jnp.asarray(False)
+            f, src_values=(randoms,))
 
-    def finish(nbr_max, nbr_min, fi, fv):
+    def finish(nbr_max, nbr_min):
         is_max = frontier & (randoms > nbr_max)
         is_min = frontier & (randoms < nbr_min) & ~is_max
         nc = jnp.where(is_max, 2 * it, colors)
         nc = jnp.where(is_min, 2 * it + 1, nc)
         nf = frontier & ~(is_max | is_min)
-        if fv is None:
-            return nc, nf
-        # filter the index list down to still-uncolored entries
-        keep = nf[fi] & (fi != g.pad_vertex)
-        fi2 = jnp.sort(jnp.where(keep, fi, jnp.int32(2**30)))
-        fi2 = jnp.where(fi2 < 2**30, fi2, g.pad_vertex)
-        return nc, nf, fi2, jnp.sum(keep), fv
+        return nc, nf
 
     if not sparse_enabled(g):
-        nbr_max, nbr_min, _, _ = dense(None)
-        nc, nf = finish(nbr_max, nbr_min, None, None)
+        nc, nf = finish(*dense_sweep(frontier))
         return ColorState(nc, randoms, nf, fidx, fcount, fvalid)
 
-    def sparse_body(idx):
-        _, nb, valid = _neighborhoods_idx(g, idx)
-        pri = jnp.where(valid & (idx != g.pad_vertex)[:, None],
-                        randoms[idx][:, None], 0.0)
+    def sparse(_):
+        _, nb, valid = _neighborhoods_idx(g, fidx)
+        pri = randoms[fidx][:, None]
         ninf = jnp.float32(-1.0)
         nbr_max = jnp.full(vp, ninf, jnp.float32).at[nb].max(
             jnp.where(valid, pri, ninf), mode="drop")
         big = jnp.float32(vp + 1)
         nbr_min = jnp.full(vp, big, jnp.float32).at[nb].min(
             jnp.where(valid, pri, big), mode="drop")
-        return nbr_max, nbr_min, idx, jnp.asarray(True)
+        return nbr_max, nbr_min
 
-    branch = jnp.where(fcount <= K, jnp.where(fvalid, 0, 1), 2)
-    nbr_max, nbr_min, fi, fv = jax.lax.switch(
-        branch.astype(jnp.int32),
-        [lambda _: sparse_body(fidx),
-         lambda _: sparse_body(compact_frontier(frontier, K, g.pad_vertex)),
-         dense], None)
-    nc, nf, fi2, cnt, _ = finish(nbr_max, nbr_min, fi, fv)
-    # after a dense round the count comes from the mask instead
-    cnt = jnp.where(fv, cnt, jnp.count_nonzero(nf))
+    nbr_max, nbr_min = jax.lax.cond(fvalid, sparse,
+                                    lambda _: dense_sweep(frontier), None)
+    nc, nf = finish(nbr_max, nbr_min)
+
+    def next_idx_sparse(_):
+        # the uncolored set shrinks: filter the carried index list (O(K))
+        keep = nf[fidx] & (fidx != g.pad_vertex)
+        fi2 = jnp.sort(jnp.where(keep, fidx, jnp.int32(2**30)))
+        return jnp.where(fi2 < 2**30, fi2, g.pad_vertex), jnp.sum(keep)
+
+    def next_idx_dense(_):
+        cnt = jnp.count_nonzero(nf)
+        fi2 = jax.lax.cond(
+            cnt <= K, lambda m: compact_frontier(m, K, g.pad_vertex),
+            lambda m: jnp.full(K, g.pad_vertex, jnp.int32), nf)
+        return fi2, cnt
+
+    fi2, cnt = jax.lax.cond(fvalid, next_idx_sparse, next_idx_dense, None)
+    fv = (cnt <= K) & frontier_idx_ok(g, fi2, cnt)
     return ColorState(nc, randoms, nf, fi2, cnt, fv)
 
 

@@ -21,7 +21,7 @@ from essentials_tpu.framework.enactor import enact, EnactResult
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
-    sparse_enabled, compact_frontier, _neighborhoods_idx, DEFAULT_K)
+    sparse_enabled, compact_frontier, _neighborhoods_idx, dcap, k_for)
 
 
 class KcoreState(NamedTuple):
@@ -65,13 +65,17 @@ def step(g: Graph, state: KcoreState, it) -> KcoreState:
     cnt = jnp.count_nonzero(peel)
     if sparse_enabled(g):
         def sparse(_):
-            idx = compact_frontier(peel, DEFAULT_K, g.pad_vertex)
+            idx = compact_frontier(peel, k_for(g), g.pad_vertex)
             _, nb, valid = _neighborhoods_idx(g, idx)
             return jnp.zeros(vp, jnp.int32).at[nb].add(
                 valid.astype(jnp.int32), mode="drop")
 
+        # the candidate matrix truncates rows past dcap: sparse only when
+        # every peeled vertex's ORIGINAL out-degree fits
+        deg0 = g.out_degrees()
+        degok = jnp.max(jnp.where(peel, deg0, 0)) <= dcap(g)
         branch = jnp.where(cnt == 0, 0,
-                           jnp.where(cnt <= DEFAULT_K, 1, 2))
+                           jnp.where((cnt <= k_for(g)) & degok, 1, 2))
         removed_nbrs = jax.lax.switch(branch.astype(jnp.int32),
                                       [skip, sparse, dense], None)
     else:

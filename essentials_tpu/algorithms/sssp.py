@@ -22,7 +22,7 @@ from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
     sparse_enabled, compact_frontier, next_frontier_idx, _neighborhoods_idx,
-    DEFAULT_K)
+    frontier_idx_ok, k_for)
 
 
 class SsspState(NamedTuple):
@@ -46,10 +46,11 @@ def init(g: Graph, source) -> SsspState:
     vp = g.n_vertices_padded
     dist = jnp.full(vp, jnp.inf, jnp.float32).at[source].set(0.0)
     pred = jnp.full(vp, -1, jnp.int32)
-    fidx = jnp.full(DEFAULT_K, g.pad_vertex, jnp.int32).at[0].set(source)
+    fidx = jnp.full(k_for(g), g.pad_vertex, jnp.int32).at[0].set(source)
     return SsspState(dist, pred,
                      frontier_from_indices(g, jnp.asarray([source])),
-                     fidx, jnp.int32(1), jnp.asarray(True))
+                     fidx, jnp.int32(1),
+                     frontier_idx_ok(g, fidx, jnp.int32(1)))
 
 
 def step(g: Graph, state: SsspState, it) -> SsspState:
@@ -58,12 +59,12 @@ def step(g: Graph, state: SsspState, it) -> SsspState:
     large frontiers run the dense segment engine (two MIN passes: distance
     + smallest-id predecessor)."""
     dist, pred, frontier, fidx, fcount, fvalid = state
-    K = DEFAULT_K
+    K = k_for(g)
     vp = g.n_vertices_padded
     imax = jnp.iinfo(jnp.int32).max
 
-    def dense(_):
-        cand = advance(g, lambda e: e.src_vals[0] + e.weight, frontier,
+    def dense_relax(f):
+        cand = advance(g, lambda e: e.src_vals[0] + e.weight, f,
                        src_values=(dist,), combine=Combine.MIN,
                        with_frontier=False)
         nd = jnp.minimum(cand, dist)
@@ -74,40 +75,43 @@ def step(g: Graph, state: SsspState, it) -> SsspState:
             achieves = (e.src_vals[0] + e.weight) == e.dst_vals[0]
             return jnp.where(achieves, e.src, imax)
 
-        cand_pred = advance(g, pred_op, frontier, src_values=(dist,),
+        cand_pred = advance(g, pred_op, f, src_values=(dist,),
                             dst_values=(nd,), combine=Combine.MIN,
                             with_frontier=False)
-        improved = cand < dist
-        return (cand, cand_pred, fidx, jnp.count_nonzero(improved),
-                jnp.asarray(False))
+        return cand, cand_pred
 
     if not sparse_enabled(g):
-        cand, cand_pred, fi, fc, fv = dense(None)
+        cand, cand_pred = dense_relax(frontier)
+        fi, fc, fv = fidx, jnp.int32(0), jnp.asarray(False)
     else:
-        def sparse_body(idx):
-            e, nb, valid = _neighborhoods_idx(g, idx)
-            src_d = dist[idx]
+        def sparse(_):
+            e, nb, valid = _neighborhoods_idx(g, fidx)
+            src_d = dist[fidx]
             cand_e = jnp.where(valid, src_d[:, None] + g.values[e], jnp.inf)
             cand = jnp.full(vp, jnp.inf, dist.dtype).at[nb].min(
                 cand_e, mode="drop")
             achieves = valid & (cand_e == cand[nb])
-            src_ids = jnp.broadcast_to(idx[:, None], nb.shape)
+            src_ids = jnp.broadcast_to(fidx[:, None], nb.shape)
             cand_pred = jnp.full(vp, imax, jnp.int32).at[nb].min(
                 jnp.where(achieves, src_ids.astype(jnp.int32), imax),
                 mode="drop")
             improved_nb = valid & (cand[nb] < dist[nb])
             nidx, ncount = next_frontier_idx(nb, improved_nb, K,
                                              g.pad_vertex)
-            return cand, cand_pred, nidx, ncount, ncount <= K
+            return cand, cand_pred, nidx, ncount
 
-        branch = jnp.where(fcount <= K,
-                           jnp.where(fvalid, 0, 1), 2).astype(jnp.int32)
-        cand, cand_pred, fi, fc, fv = jax.lax.switch(
-            branch,
-            [lambda _: sparse_body(fidx),
-             lambda _: sparse_body(compact_frontier(frontier, K,
-                                                    g.pad_vertex)),
-             dense], None)
+        def dense(_):
+            cand, cand_pred = dense_relax(frontier)
+            improved = cand < dist
+            nf = improved & g.vertex_mask()
+            fc = jnp.count_nonzero(nf)
+            nidx = jax.lax.cond(
+                fc <= K, lambda m: compact_frontier(m, K, g.pad_vertex),
+                lambda m: jnp.full(K, g.pad_vertex, jnp.int32), nf)
+            return cand, cand_pred, nidx, fc
+
+        cand, cand_pred, fi, fc = jax.lax.cond(fvalid, sparse, dense, None)
+        fv = (fc <= K) & frontier_idx_ok(g, fi, fc)
 
     improved = cand < dist
     new_dist = jnp.where(improved, cand, dist)

@@ -27,20 +27,49 @@ import jax.numpy as jnp
 
 from essentials_tpu.graph.graph import Graph
 
-# sparse mode is compiled in only when the graph's max degree is at most
-# this (skewed graphs would blow the K*dmax candidate matrix)
+# the candidate matrix enumerates at most this many edges per frontier
+# vertex; a SPECIFIC frontier takes the sparse path only when all its
+# members' degrees fit (checked on-device: frontier_idx_ok) — so skewed
+# graphs still get sparse supersteps for their low-degree tail frontiers
 DMAX_CAP = 64
 DEFAULT_K = 4096
-# ... and the graph is big enough that a dense superstep costs more than
-# the sparse path's ~0.9 ms fixed floor (compaction sort + serialized
-# gathers/scatters); measured crossover on v5e is a few million edges
+# candidate-matrix budget: XLA scatters/gathers visit every [K, dcap] slot
+# (~15 ns each incl. the paired gather) whether masked or not, so the
+# sparse step costs ~BUDGET * 15ns + ~0.4 ms fixed regardless of how full
+# the frontier is; K is sized so that stays well under a dense superstep
+_BUDGET = 1 << 15
+# ... and the graph must be big enough that a dense superstep costs more
+# than the sparse path's fixed floor; measured crossover on v5e is a few
+# million edges
 _MIN_EDGES = 1 << 21
 
 
-def sparse_enabled(g: Graph, k: int = DEFAULT_K) -> bool:
-    """Static (trace-time) gate for compiling the sparse branch."""
-    return 0 < g.max_degree <= DMAX_CAP and \
-        g.n_edges > max(4 * k * g.max_degree, _MIN_EDGES)
+def sparse_enabled(g: Graph, k: int | None = None) -> bool:
+    """Static (trace-time) gate for compiling the sparse branch.
+
+    Low-degree graphs only: on skewed graphs a controlled A/B (rmat18
+    BFS protocol) measured the adaptive machinery at -14% — the candidate
+    budget rarely fits a tail frontier there, so the per-round checks and
+    carried index state never pay for themselves. kcore's empty-round
+    skip is separate and stays on for every graph."""
+    return 0 < g.max_degree <= DMAX_CAP and g.n_edges > _MIN_EDGES
+
+
+def dcap(g: Graph) -> int:
+    return min(g.max_degree, DMAX_CAP)
+
+
+def k_for(g: Graph) -> int:
+    """Frontier index-list capacity: fills the candidate budget."""
+    return max(512, min(DEFAULT_K, _BUDGET // dcap(g)))
+
+
+def frontier_idx_ok(g: Graph, idx: jax.Array, count) -> jax.Array:
+    """On-device check that ``idx`` is a usable sparse frontier: fits the
+    cap AND every member's out-degree fits the candidate matrix."""
+    deg = g.row_offsets[idx + 1] - g.row_offsets[idx]
+    deg = jnp.where(idx == g.pad_vertex, 0, deg)
+    return (count <= idx.shape[0]) & (jnp.max(deg) <= dcap(g))
 
 
 def compact_frontier(frontier: jax.Array, k: int, fill: int) -> jax.Array:
@@ -60,7 +89,7 @@ def _neighborhoods(g: Graph, frontier: jax.Array, k: int):
     Returns (idx [k], e [k,dmax], nb [k,dmax], valid [k,dmax]); overflow
     beyond k is the caller's responsibility (gate with count <= k).
     """
-    dmax = g.max_degree
+    dmax = dcap(g)
     idx = compact_frontier(frontier, k, g.pad_vertex)
     offs = g.row_offsets[idx]
     deg = g.row_offsets[idx + 1] - offs
@@ -74,7 +103,7 @@ def _neighborhoods(g: Graph, frontier: jax.Array, k: int):
 
 def _neighborhoods_idx(g: Graph, idx: jax.Array):
     """Candidate edges for an index-list frontier (pad slots = pad_vertex)."""
-    dmax = g.max_degree
+    dmax = dcap(g)
     offs = g.row_offsets[idx]
     deg = g.row_offsets[idx + 1] - offs
     active = idx != g.pad_vertex
