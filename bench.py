@@ -8,7 +8,10 @@ single scalar checksum is fetched at the end — this amortizes away both the
 per-dispatch RPC latency of remote/tunneled TPU runtimes and the
 device->host fetch cost, so the number is pure on-device algorithm time
 (protocol parity with the reference's enact-loop-only timing,
-framework/enactor.hxx:243-254). MTEPS = E / mean-run-time.
+framework/enactor.hxx:243-254). MTEPS = E / median-run-time over 7
+measurement cycles; every cycle is persisted in the JSON (cycles_ms) and
+the best cycle is reported alongside (least-contended-chip estimate on the
+shared pool).
 
 vs_baseline is achieved / target where target = 70% of a hardware roofline
 estimate (BASELINE.json: ">=70% of roofline MTEPS per chip"): a
@@ -69,19 +72,22 @@ def main():
 
     timed(1)                       # compile R=1 program
     timed(RUNS)                    # compile R=RUNS program
-    # several measurement cycles, best taken: the TPU pool's chip
-    # assignment / co-tenancy swings per-cycle throughput up to ~2.5x,
-    # and the best cycle is the least-contended (closest to the
-    # hardware) measurement
-    per_run_ms = float("inf")
+    # several measurement cycles, ALL persisted: the TPU pool's chip
+    # assignment / co-tenancy swings per-cycle throughput up to ~2.5x.
+    # The headline value is the MEDIAN cycle (robust to co-tenant spikes);
+    # best is reported alongside as the least-contended estimate.
+    cycles_ms = []
     iters = 0
-    for _ in range(3):
+    for _ in range(7):
         t1, _ = timed(1)           # fixed dispatch overhead
         tR, it = timed(RUNS)
-        per_run_ms = min(per_run_ms, max((tR - t1) / (RUNS - 1), 1e-6))
+        cycles_ms.append(max((tR - t1) / (RUNS - 1), 1e-6))
         iters = it
 
-    mteps = (g.n_edges / 1e6) / (per_run_ms / 1e3)
+    med_ms = float(np.median(cycles_ms))
+    best_ms = min(cycles_ms)
+    mteps = (g.n_edges / 1e6) / (med_ms / 1e3)
+    best_mteps = (g.n_edges / 1e6) / (best_ms / 1e3)
     roofline_mteps = (HBM_GBPS * 1e9 / BYTES_PER_EDGE_PER_ITER) \
         / max(iters, 1) / 1e6
     target = 0.70 * roofline_mteps
@@ -91,9 +97,11 @@ def main():
         "value": round(mteps, 2),
         "unit": "MTEPS",
         "vs_baseline": round(mteps / target, 4),
+        "best": round(best_mteps, 2),
+        "cycles_ms": [round(c, 3) for c in cycles_ms],
     }))
-    print(f"# per_run_ms={per_run_ms:.2f} iters_last={iters} V={g.n_vertices} "
-          f"E={g.n_edges} backend={jax.default_backend()} "
+    print(f"# med_ms={med_ms:.2f} best_ms={best_ms:.2f} iters_last={iters} "
+          f"V={g.n_vertices} E={g.n_edges} backend={jax.default_backend()} "
           f"roofline_mteps={roofline_mteps:.0f}", file=sys.stderr)
 
 

@@ -20,19 +20,20 @@ import jax.numpy as jnp
 from essentials_tpu.frontier import frontier_from_indices
 from essentials_tpu.framework.enactor import enact, default_converged, EnactResult
 from essentials_tpu.graph.graph import Graph
-from essentials_tpu.ops import advance, Combine, AdvanceIO
+from essentials_tpu.ops import advance, advance_count, Combine, AdvanceIO
 from essentials_tpu.ops.sparse_advance import (
-    sparse_enabled, compact_frontier, next_frontier_idx, _neighborhoods_idx,
-    frontier_idx_ok, k_for)
+    spray_enabled, spray_k, SPRAY_BUDGET, frontier_out_degree, spray_reach,
+    compact_frontier)
 
 UNREACHED = np.iinfo(np.int32).max
 
 
 class BfsState(NamedTuple):
-    """Hybrid frontier: the boolmap is always maintained; when the frontier
-    fits in ``fidx`` (<= K entries, fvalid) the sparse path runs O(K*dmax)
-    work per level and regenerates the index list from its own candidates
-    (never an O(V) compaction)."""
+    """Hybrid frontier: the boolmap is always maintained; when the index
+    list is current (fvalid) AND the frontier's total out-degree fits the
+    spray budget, the level runs the O(sum deg) spray path instead of the
+    dense O(E) segment engine. Skew-tolerant: the gate is sum-of-degrees,
+    so hub vertices are fine as long as the level's edge work is small."""
     distances: jax.Array      # int32[Vp], UNREACHED where not found yet
     frontier: jax.Array       # bool[Vp]
     fidx: jax.Array           # int32[K] frontier indices (pad_vertex-filled)
@@ -51,38 +52,37 @@ def init(g: Graph, source: int | jax.Array) -> BfsState:
     vp = g.n_vertices_padded
     dist = jnp.full(vp, UNREACHED, jnp.int32).at[source].set(0)
     frontier = frontier_from_indices(g, jnp.asarray([source]))
-    fidx = jnp.full(k_for(g), g.pad_vertex, jnp.int32).at[0].set(source)
-    return BfsState(dist, frontier, fidx, jnp.int32(1),
-                    frontier_idx_ok(g, fidx, jnp.int32(1)))
+    fidx = jnp.full(spray_k(g), g.pad_vertex, jnp.int32).at[0].set(source)
+    return BfsState(dist, frontier, fidx, jnp.int32(1), jnp.asarray(True))
 
 
 def step(g: Graph, state: BfsState, it) -> BfsState:
-    """One level. Work-adaptive lax.cond: frontiers whose index list is
-    current AND whose members' degrees fit the candidate matrix run the
-    sparse O(|f|*dmax) gather path; everything else runs the dense O(E)
-    segment engine (which also compacts the next index list, so skewed
-    graphs still go sparse for their low-degree tail levels)."""
+    """One level. Work-adaptive lax.cond: when the frontier index list is
+    current and its total out-degree fits the spray budget, run the
+    O(sum deg) spray path (ops/sparse_advance.py); otherwise the dense
+    O(E) segment engine (which also compacts the next index list, so
+    every graph goes spray for its small head/tail levels)."""
     dist, frontier, fidx, fcount, fvalid = state
-    K = k_for(g)
+    K = spray_k(g)
     vp = g.n_vertices_padded
 
     def dense_reach(f):
-        return advance(g, lambda e: True, f,
-                       combine=Combine.OR, with_frontier=False)
+        # fused 7-kernel mega-chain superstep (ops/advance.py:advance_count)
+        return advance_count(g, f) > 0
 
-    if not sparse_enabled(g):
+    if not spray_enabled(g):
         newly = dense_reach(frontier) & (dist == UNREACHED)
         return BfsState(jnp.where(newly, it + 1, dist), newly, fidx,
                         jnp.int32(0), jnp.asarray(False))
 
+    offs, deg = jax.lax.cond(
+        fvalid, lambda _: frontier_out_degree(g, fidx),
+        lambda _: (jnp.zeros(K, jnp.int32), jnp.zeros(K, jnp.int32)), None)
+    take_spray = fvalid & (jnp.sum(deg) <= SPRAY_BUDGET)
+
     def sparse(_):
-        _, nb, valid = _neighborhoods_idx(g, fidx)
-        out = jnp.zeros(vp, jnp.int8).at[nb].max(valid.astype(jnp.int8),
-                                                 mode="drop")
-        newly = (out > 0) & (dist == UNREACHED)
-        keep = valid & newly[nb]
-        nidx, ncount = next_frontier_idx(nb, keep, K, g.pad_vertex)
-        return newly, nidx, ncount
+        return spray_reach(g, fidx, offs, deg, dist == UNREACHED,
+                           SPRAY_BUDGET, K)
 
     def dense(_):
         newly = dense_reach(frontier) & (dist == UNREACHED)
@@ -94,9 +94,8 @@ def step(g: Graph, state: BfsState, it) -> BfsState:
             lambda m: jnp.full(K, g.pad_vertex, jnp.int32), newly)
         return newly, nidx, fc
 
-    newly, fi, fc = jax.lax.cond(fvalid, sparse, dense, None)
-    fv = (fc <= K) & frontier_idx_ok(g, fi, fc)
-    return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fv)
+    newly, fi, fc = jax.lax.cond(take_spray, sparse, dense, None)
+    return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fc <= K)
 
 
 def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:

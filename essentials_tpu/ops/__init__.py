@@ -12,7 +12,9 @@ degree-1 vertex cost the same per edge.
 """
 
 from essentials_tpu.ops.configs import Combine, AdvanceIO
-from essentials_tpu.ops.advance import advance, advance_multi, advance_edges, Edges
+from essentials_tpu.ops.advance import (advance, advance_multi,
+                                        advance_edges, advance_count,
+                                        Edges)
 from essentials_tpu.ops.filter import filter_frontier
 from essentials_tpu.ops.parallel_for import for_each_vertex, for_each_edge
 from essentials_tpu.ops.uniquify import uniquify
@@ -24,6 +26,7 @@ from essentials_tpu.ops.segment import (segment_combine, combine_by_offsets,
 
 __all__ = [
     "Combine", "AdvanceIO", "advance", "advance_multi", "advance_edges",
+    "advance_count",
     "Edges", "filter_frontier", "for_each_vertex", "for_each_edge",
     "uniquify", "neighbor_reduce", "batch_execute", "segment_combine",
     "combine_by_offsets", "expand_vertex_to_edges", "apply_permutation",

@@ -172,6 +172,42 @@ def advance_multi(g: Graph,
     return outs
 
 
+def advance_count(g: Graph, frontier: jax.Array) -> jax.Array:
+    """Fused superstep: #active in-edges per destination, int32[Vp].
+
+    The whole edge-axis pipeline (telescoping expand over the CSR offsets
+    route -> CSR->CSC route -> combine prescan over the inverse CSC offsets
+    route) runs as ONE 7-kernel mega-chain (ops/cube_router.py:
+    apply_cube_chain_n) with both scans fused at the route boundaries —
+    zero inter-kernel HBM round trips. OR-reach is ``advance_count(...) > 0``.
+
+    Reference parity: the operators::advance + OR/SUM-combine special case
+    (advance/advance.hxx:91-221 with a counting/marking functor), which is
+    the hot superstep of BFS-like algorithms."""
+    if g.off_route_csr is not None and g.route_fwd is not None \
+            and g.off_route_csc is not None:
+        from essentials_tpu.ops.cube_router import (chainable_n,
+                                                    apply_cube_chain_n)
+        from essentials_tpu.ops.scan_kernels import segmented_scan
+        from essentials_tpu.ops.segment import _to_i32
+        route_src, route_dst = g.off_route_csr, g.off_route_csc
+        plans = [route_src.plan, g.route_fwd, route_dst.inv_plan]
+        if chainable_n(plans):
+            from essentials_tpu.ops.segment import _run_totals
+            iv = _to_i32(frontier.astype(jnp.int32))
+            d = jnp.diff(iv, prepend=jnp.zeros(1, jnp.int32))
+            dd = _run_totals(d, route_src)
+            n_seg = route_dst.n_seg
+            pref = apply_cube_chain_n((dd,), plans, ["incl", "excl"],
+                                      n_valid=n_seg + 1)[0]
+            ff = segmented_scan(pref, route_dst.run_start, "first")
+            return ff[1:] - ff[:-1]
+    # fallback: the generic engine
+    res = advance_multi(g, [(lambda e: 1, Combine.SUM)], frontier,
+                        with_frontier=False)
+    return res[0]
+
+
 def advance(g: Graph,
             message_fn: Callable,
             frontier: jax.Array | None = None,

@@ -556,13 +556,13 @@ def apply_cube_plan(xs, plan: CubePlan, n_valid: int | None = None,
 # of every payload per superstep.
 
 def _kmid_kernel(scan_f32, xa_ref, i6a_ref, i0b_ref, i1b_ref, o_ref,
-                 carry_ref):
-    """K3(plan_a) + inclusive scan + K1(plan_b) on one m-slab."""
+                 carry_ref, *, exclusive=False):
+    """K3(plan_a) + [in|ex]clusive scan + K1(plan_b) on one m-slab."""
     x = _widen(xa_ref[0])                                 # [C, 8, B]
     x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
     x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
     x = _g2(x, i6a_ref[...])                              # finish route_a
-    x = _block_cumsum(x, carry_ref, False, scan_f32)      # fused scan
+    x = _block_cumsum(x, carry_ref, exclusive, scan_f32)  # fused scan
     x = _g2(x, i0b_ref[...])                              # start route_b
     x = jnp.swapaxes(x, 1, 2)                             # [8, C, B]
     x = _g2(x, i1b_ref[...])
@@ -695,6 +695,163 @@ def apply_cube_chain(xs, plan_a: CubePlan, plan_b: CubePlan,
             out_shape=jax.ShapeDtypeStruct((P, M, LANES, LANES), dt),
         )(k2b, i6b)
         outs = [k3.reshape(P, L)[i] for i in range(P)]
+
+    results = []
+    for dt_in, o in zip(dtypes_in, outs):
+        o = o[:n_valid]
+        if dt_in in (jnp.float32, jnp.uint32):
+            o = jax.lax.bitcast_convert_type(o, dt_in)
+        elif dt_in == jnp.bool_:
+            o = o != 0
+        elif o.dtype != dt_in:
+            o = o.astype(dt_in)
+        results.append(o)
+    return tuple(results)
+
+
+# ------------------------------------------------------------------ #
+# N-route mega-chain: route_1 -> scan -> route_2 -> scan -> ... -> route_N
+#
+# The full dense advance superstep is THREE routes with a scan at each
+# boundary (expand-offsets route + inclusive telescoping cumsum, CSR->CSC
+# route + exclusive combine prescan, inverse-offsets route). Chaining all
+# of them turns 9 kernels + 2 inter-kernel elementwise HBM round trips
+# into 2N+1 = 7 kernels with zero glue — the whole superstep's edge-axis
+# work in one fused pipeline (VERDICT round-1 next-step #1).
+
+def chainable_n(plans) -> bool:
+    return all(isinstance(p, CubePlan) for p in plans) and \
+        len({(p.form, p.length) for p in plans}) == 1
+
+
+def _plan_kparts(plan: CubePlan, bs):
+    """(i0, i1, i6, k2_kernel, k2_idx) with i* reshaped to [M, B, C]."""
+    s = [jnp.asarray(a) for a in plan.stages]
+    if plan.form == "wbc":
+        M = plan.wide
+        k2_kernel = partial(_k2_wbc_kernel, M)
+        k2_idx = [(s[2], bs((1, LANES, M), lambda c, p: (c, 0, 0))),
+                  (s[3], bs((1, M, LANES), lambda c, p: (c, 0, 0)))]
+        return s[0], s[1], s[4], k2_kernel, k2_idx
+    T = plan.wide
+    M = T * LANES
+    k2_kernel = partial(_k2_tfbc_kernel, T)
+    k2_idx = [(s[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+              (s[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+              (s[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
+              (s[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
+    return (s[0].reshape(M, LANES, LANES), s[1].reshape(M, LANES, LANES),
+            s[6].reshape(M, LANES, LANES), k2_kernel, k2_idx)
+
+
+def apply_cube_chain_n(xs, plans, scans, n_valid: int | None = None,
+                       *, use_pallas: bool | None = None):
+    """out = route_N(scan_{N-1}(... route_2(scan_1(route_1(x))) ...)).
+
+    ``plans``: sequence of chainable CubePlans. ``scans``: N-1 entries from
+    {"incl", "excl"} — the fused int32 wrap-around cumsum applied between
+    consecutive routes (in the intermediate edge order). Payloads ride an
+    int32 carrier; float32 inputs are bitcast (scans then operate on BITS —
+    only meaningful for telescoped integer diffs, as in ops/segment.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plans = list(plans)
+    scans = list(scans)
+    assert len(scans) == len(plans) - 1 and chainable_n(plans)
+    assert all(s in ("incl", "excl") for s in scans)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n = xs[0].shape[0]
+    n_valid = n if n_valid is None else n_valid
+    L = plans[0].length
+
+    dtypes_in = [x.dtype for x in xs]
+    carriers = []
+    for x in xs:
+        if x.dtype in (jnp.float32, jnp.uint32):
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        elif x.dtype != jnp.int32:
+            x = x.astype(jnp.int32)
+        if n < L:
+            x = jnp.pad(x, (0, L - n))
+        carriers.append(x)
+
+    if not use_pallas:
+        outs = []
+        for c in carriers:
+            v = c
+            for i, plan in enumerate(plans):
+                v = _ref_apply(v, plan)
+                if i < len(scans):
+                    s = jnp.cumsum(v)
+                    v = s - v if scans[i] == "excl" else s
+            outs.append(v)
+    else:
+        P = len(carriers)
+        x = jnp.stack(carriers)
+        dt = x.dtype
+
+        def bs(shp, im):
+            return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+
+        parts = [_plan_kparts(p, bs) for p in plans]
+        M = plans[0].wide if plans[0].form == "wbc" \
+            else plans[0].wide * LANES
+        vmem = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+                if plans[0].form == "tfbc" else None)
+
+        def run_k2(v, k2_kernel, k2_idx):
+            return pl.pallas_call(
+                k2_kernel, grid=(LANES, P),
+                in_specs=[bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0))]
+                + [spec for _, spec in k2_idx],
+                out_specs=bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+                compiler_params=vmem,
+            )(v, *[a for a, _ in k2_idx])
+
+        i0_0, i1_0, _, k2k_0, k2i_0 = parts[0]
+        xm = x.reshape(P, M, LANES, LANES)
+        v = pl.pallas_call(
+            partial(_k1_kernel, False, False), grid=(M // _MSLAB, P),
+            in_specs=[bs((1, _MSLAB, LANES, LANES),
+                         lambda m, p: (p, m, 0, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+            out_specs=bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+        )(xm, i0_0, i1_0)
+        v = run_k2(v, k2k_0, k2i_0)
+
+        for i in range(1, len(plans)):
+            i6_prev = parts[i - 1][2]
+            i0_i, i1_i, _, k2k_i, k2i_i = parts[i]
+            v = pl.pallas_call(
+                partial(_kmid_kernel, False,
+                        exclusive=(scans[i - 1] == "excl")),
+                grid=(M // _MSLAB, P),
+                in_specs=[bs((1, LANES, _MSLAB, LANES),
+                             lambda m, p: (p, 0, m, 0)),
+                          bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+                          bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+                          bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+                out_specs=bs((1, LANES, _MSLAB, LANES),
+                             lambda m, p: (p, 0, m, 0)),
+                out_shape=jax.ShapeDtypeStruct((P, LANES, M, LANES), dt),
+                scratch_shapes=[pltpu.SMEM((P,), jnp.int32)],
+            )(v, i6_prev, i0_i, i1_i)
+            v = run_k2(v, k2k_i, k2i_i)
+
+        v = pl.pallas_call(
+            partial(_k3_kernel, False, False), grid=(M // _MSLAB, P),
+            in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
+                      bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+            out_specs=bs((1, _MSLAB, LANES, LANES), lambda m, p: (p, m, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((P, M, LANES, LANES), dt),
+        )(v, parts[-1][2])
+        outs = [v.reshape(P, L)[i] for i in range(P)]
 
     results = []
     for dt_in, o in zip(dtypes_in, outs):

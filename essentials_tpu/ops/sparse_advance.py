@@ -80,6 +80,8 @@ def compact_frontier(frontier: jax.Array, k: int, fill: int) -> jax.Array:
     key = jnp.where(frontier, jnp.arange(vp, dtype=jnp.int32),
                     jnp.int32(2**30))
     s = jax.lax.sort(key)[:k]
+    if s.shape[0] < k:               # tiny graph: Vp < K
+        s = jnp.pad(s, (0, k - s.shape[0]), constant_values=2**30)
     return jnp.where(s < 2**30, s, fill)
 
 
@@ -126,6 +128,103 @@ def next_frontier_idx(nb: jax.Array, keep: jax.Array, k: int, fill: int):
     count = jnp.sum(s2 < big)
     idx = jnp.where(s2[:k] < big, s2[:k], fill)
     return idx, count
+
+
+# --------------------------------------------------------------------- #
+# Spray path (v2): sum-of-degrees budgeted, degree-skew tolerant.
+#
+# The candidate-matrix path above pays O(K * dcap) slots with a STATIC
+# degree cap — useless on power-law graphs where one hub blows the cap.
+# The spray path enumerates exactly the frontier's out-edges (ragged ->
+# static slots via scatter+cumsum over the budget axis) so the only gate is
+# sum(deg(frontier)) <= budget, checked on device per superstep.
+#
+# Measured (TPU v5e, benchmarks/profile_primitives.py): XLA gather/scatter/
+# sort at <= 32K elements cost tens of microseconds; the serialization
+# cliff (~7.5 ns/elem) starts at ~64K. Budget 32768 keeps every op on the
+# cheap side; a spray superstep is ~0.1-0.3 ms vs ~1 ms+ for a dense O(E)
+# superstep at rmat18.
+#
+# Reference parity: this is the TPU replacement for thread-mapped advance
+# over vector frontiers (advance/thread_mapped.hxx) — work proportional to
+# the frontier's out-degree, not to E and not to K*max_degree.
+
+SPRAY_BUDGET = 1 << 15        # candidate edge slots (the 64K cliff is real)
+SPRAY_K = 1 << 14             # index-list capacity
+
+
+def spray_enabled(g: Graph) -> bool:
+    """Static gate: the graph must be big enough that a dense superstep
+    costs more than the spray path's fixed floor."""
+    return g.n_edges > _MIN_EDGES
+
+
+def spray_k(g: Graph) -> int:
+    return SPRAY_K
+
+
+def frontier_out_degree(g: Graph, idx: jax.Array):
+    """(offs [K], deg [K]) of an index-list frontier (pad slots -> 0)."""
+    offs = g.row_offsets[idx]
+    deg = jnp.where(idx == g.pad_vertex, 0, g.row_offsets[idx + 1] - offs)
+    return offs, deg.astype(jnp.int32)
+
+
+def spray_candidates(g: Graph, idx: jax.Array, offs: jax.Array,
+                     deg: jax.Array, budget: int, *,
+                     with_src: bool = False):
+    """Enumerate ALL out-edges of the frontier into `budget` static slots.
+
+    Requires sum(deg) <= budget (gate with the on-device check before
+    lax.cond-ing into this branch). Returns (e [B] edge ids, nb [B] dst,
+    src [B] source ids or None, valid [B]).
+
+    Gather-free expansion: within frontier member i's slot range, the edge
+    id is e = j + (offs[i] - pfx[i]) — a per-segment constant. Expanding a
+    per-segment constant needs no gather: scatter its K-axis DIFFS at the
+    segment-start slots and cumsum over the budget axis (the telescoping
+    trick of ops/segment.py at sparse scale — B-from-K-table gathers
+    measured ~10x the cost of this scatter+cumsum on v5e)."""
+    pfx = jnp.cumsum(deg) - deg                        # exclusive prefix
+    total = pfx[-1] + deg[-1]
+    j = jnp.arange(budget, dtype=jnp.int32)
+    valid = j < total
+
+    def expand_const(per_seg):
+        d = jnp.diff(per_seg, prepend=jnp.zeros(1, per_seg.dtype))
+        z = jnp.zeros(budget, per_seg.dtype).at[pfx].add(d, mode="drop")
+        return jnp.cumsum(z)
+
+    e = jnp.where(valid, j + expand_const(offs - pfx), 0)
+    nb = g.col_indices[e]
+    src = expand_const(idx) if with_src else None
+    return e, nb, src, valid
+
+
+def spray_dedup(nb: jax.Array, keep: jax.Array, k: int, fill: int):
+    """Distinct kept candidates: (sorted_all [B] with 2^30 sentinels &
+    duplicates pushed last, idx [k] first-k distinct, count)."""
+    big = jnp.int32(2 ** 30)
+    s1 = jax.lax.sort(jnp.where(keep, nb.astype(jnp.int32), big))
+    dup = jnp.concatenate([jnp.zeros(1, jnp.bool_), s1[1:] == s1[:-1]])
+    s2 = jax.lax.sort(jnp.where(dup, big, s1))
+    count = jnp.sum(s2 < big)
+    idx = jnp.where(s2[:k] < big, s2[:k], fill)
+    return s2, idx, count
+
+
+def spray_reach(g: Graph, idx: jax.Array, offs: jax.Array, deg: jax.Array,
+                unvisited: jax.Array, budget: int, k: int):
+    """BFS-style reach over the sprayed out-edges.
+
+    Returns (newly bool[Vp] — unvisited vertices with an in-edge from the
+    frontier, nidx [k] — first-k distinct such vertices, ncount)."""
+    _, nb, _, valid = spray_candidates(g, idx, offs, deg, budget)
+    fresh = valid & unvisited[nb]
+    uniq, nidx, ncount = spray_dedup(nb, fresh, k, g.pad_vertex)
+    newly = jnp.zeros(g.n_vertices_padded, jnp.bool_).at[uniq].set(
+        True, mode="drop")
+    return newly, nidx, ncount
 
 
 def sparse_reach(g: Graph, frontier: jax.Array, k: int = DEFAULT_K

@@ -68,3 +68,49 @@ def test_cube_tfbc_matches_direct():
     inv = invert_cube_plan(plan)
     (back,) = apply_cube_plan((out,), inv, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_apply_cube_chain_n_matches_composition():
+    """3-route chain with incl/excl scans == unfused composition."""
+    import numpy as np
+    import jax.numpy as jnp
+    from essentials_tpu.ops.cube_router import (build_cube_plan,
+                                                apply_cube_plan,
+                                                apply_cube_chain_n,
+                                                chainable_n)
+    rng = np.random.default_rng(11)
+    n = 3 * 16384 * 8 + 5
+    from essentials_tpu.ops.cube_router import cube_routable_length
+    L = cube_routable_length(n)
+    plans = [build_cube_plan(rng.permutation(L))
+             for _ in range(3)]
+    assert chainable_n(plans)
+    x = jnp.asarray(rng.integers(-50, 50, n).astype(np.int32))
+
+    got = apply_cube_chain_n((x,), plans, ["incl", "excl"])[0]
+
+    v = jnp.pad(x, (0, L - n))
+    v = apply_cube_plan((v,), plans[0])[0]
+    v = jnp.cumsum(v)
+    v = apply_cube_plan((v,), plans[1])[0]
+    v = jnp.cumsum(v) - v
+    v = apply_cube_plan((v,), plans[2])[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(v[:n]))
+
+
+def test_advance_count_matches_generic():
+    import numpy as np
+    import jax.numpy as jnp
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.io import generate
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.ops import advance, advance_count, Combine
+    coo = generate.rmat(10, 8, seed=3, undirected=True, weighted=False)
+    g = build_graph(Csr.from_coo(coo), directed=False, weighted=False)
+    rng = np.random.default_rng(4)
+    f = jnp.asarray(rng.random(g.n_vertices_padded) < 0.3)
+    f = f & (jnp.arange(g.n_vertices_padded) < g.n_vertices)
+    want = advance(g, lambda e: True, f, combine=Combine.OR,
+                   with_frontier=False)
+    got = advance_count(g, f)
+    np.testing.assert_array_equal(np.asarray(got > 0), np.asarray(want))

@@ -62,3 +62,91 @@ def test_adaptive_bfs_sssp_on_grid(monkeypatch):
     s = sssp.run(g, 0, warmup=False)
     assert compare(s.distances, sssp.cpu_reference(csr, 0),
                    atol=1e-4) == 0
+
+
+# --------------------------------------------------------------------- #
+# spray path (v2): sum-of-degrees budgeted, skew tolerant
+
+
+def _skewed_graph():
+    """Small power-law-ish graph: one hub + random edges."""
+    rng = np.random.default_rng(7)
+    n = 500
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+    hub_dst = np.arange(1, 301)          # vertex 0 -> 300 out-edges
+    src = np.concatenate([src, np.zeros(300, np.int64)])
+    dst = np.concatenate([dst, hub_dst])
+    from essentials_tpu.formats import Coo, Csr
+    both_src = np.concatenate([src, dst])
+    both_dst = np.concatenate([dst, src])
+    keep = both_src != both_dst
+    coo = Coo(n, n, both_src[keep].astype(np.int32),
+              both_dst[keep].astype(np.int32),
+              np.ones(int(keep.sum()), np.float32)).deduplicated()
+    csr = Csr.from_coo(coo)
+    return csr, build_graph(csr, directed=False, weighted=False)
+
+
+def test_spray_candidates_enumerates_all_out_edges():
+    from essentials_tpu.ops.sparse_advance import (spray_candidates,
+                                                   frontier_out_degree)
+    csr, g = _skewed_graph()
+    rng = np.random.default_rng(3)
+    members = np.concatenate([[0], rng.choice(
+        np.arange(1, g.n_vertices), 40, replace=False)]).astype(np.int32)
+    K, B = 64, 2048
+    fidx = np.full(K, g.pad_vertex, np.int32)
+    fidx[:members.size] = np.sort(members)
+    fidx = jnp.asarray(fidx)
+    offs, deg = frontier_out_degree(g, fidx)
+    e, nb, src, valid = spray_candidates(g, fidx, offs, deg, B,
+                                         with_src=True)
+    e, nb, src, valid = map(np.asarray, (e, nb, src, valid))
+
+    ro = np.asarray(csr.row_offsets)
+    want = set()
+    for v in members:
+        for k in range(ro[v], ro[v + 1]):
+            want.add((int(v), int(np.asarray(csr.col_indices)[k]), int(k)))
+    got = {(int(src[j]), int(nb[j]), int(e[j]))
+           for j in range(B) if valid[j]}
+    assert got == want
+    assert valid.sum() == len(want)
+
+
+def test_spray_reach_matches_dense():
+    from essentials_tpu.ops.sparse_advance import (spray_reach,
+                                                   frontier_out_degree)
+    csr, g = _skewed_graph()
+    rng = np.random.default_rng(5)
+    members = np.sort(rng.choice(g.n_vertices, 60, replace=False)
+                      ).astype(np.int32)
+    K, B = 64, 4096
+    fidx = np.full(K, g.pad_vertex, np.int32)
+    fidx[:members.size] = members
+    fidx = jnp.asarray(fidx)
+    frontier = jnp.zeros(g.n_vertices_padded, jnp.bool_
+                         ).at[jnp.asarray(members)].set(True)
+    unvisited = jnp.asarray(
+        np.random.default_rng(6).random(g.n_vertices_padded) < 0.8)
+    offs, deg = frontier_out_degree(g, fidx)
+    newly, nidx, ncount = spray_reach(g, fidx, offs, deg, unvisited, B, K)
+
+    want = advance(g, lambda e: True, frontier, combine=Combine.OR,
+                   with_frontier=False) & unvisited
+    np.testing.assert_array_equal(np.asarray(newly), np.asarray(want))
+    w = np.flatnonzero(np.asarray(want))
+    assert int(ncount) == w.size
+    m = min(w.size, K)
+    np.testing.assert_array_equal(np.asarray(nidx)[:m], w[:m])
+
+
+def test_bfs_spray_path_end_to_end(monkeypatch):
+    """Force spray_enabled on a small graph and check full-BFS parity."""
+    import essentials_tpu.ops.sparse_advance as sa
+    monkeypatch.setattr(sa, "_MIN_EDGES", 0)
+    csr, g = _skewed_graph()
+    res = bfs.run(g, 0, compute_predecessors=False, warmup=False)
+    want = bfs.cpu_reference(csr, 0)
+    np.testing.assert_array_equal(np.asarray(res.distances), want)
