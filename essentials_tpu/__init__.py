@@ -29,6 +29,29 @@ Parallel scale-out (absent in the reference; first-class here):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_xla_cache():
+    """Persistent XLA compilation cache (analogous to the route-plan disk
+    cache): first compiles of the big fused superstep programs cost 20-40 s
+    on TPU; cached reloads are ~instant across processes."""
+    try:
+        import jax
+        d = _os.environ.get(
+            "ESSENTIALS_TPU_XLA_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "essentials_tpu", "xla"))
+        if d and d != "0":
+            _os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_xla_cache()
+
 from essentials_tpu import formats, graph, io, ops, frontier, framework
 from essentials_tpu import algorithms, parallel, utils
 from essentials_tpu.graph import Graph, build_graph
