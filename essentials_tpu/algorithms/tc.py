@@ -40,6 +40,8 @@ from essentials_tpu.formats.csr import Csr
 from essentials_tpu.utils.timer import Timer, fence
 
 _DENSE_MAX_V = 8192
+# bitmap path memory cap: (V+1) * V/8 bytes of HBM for the packed rows
+_BITMAP_MAX_BYTES = 4 << 30
 
 
 class TcResult(NamedTuple):
@@ -103,6 +105,42 @@ def _run_dense(csr: Csr, warmup: bool) -> TcResult:
     total, vt = _dense_kernel(ao_d)
     ms = t.end(sync=(total, vt))
     return TcResult(int(total), np.asarray(vt)[:n].astype(np.int32), ms)
+
+
+# ------------------------------------------------------------------ #
+# bitmap-intersection path (Pallas DMA kernel, ops/bitmap_intersect.py)
+
+def _run_bitmap(csr: Csr, warmup: bool) -> TcResult:
+    """Per-edge bitmap AND at HBM rate: counts |N+(u) ∩ N+(v)| for every
+    oriented edge with two dynamic row DMAs + VPU popcount, witness role
+    accumulated in-kernel. Device-resident replacement for the wedge-sort
+    path on mid-size V (reference hot path: graph/csr.hxx:110-167)."""
+    from essentials_tpu.ops.bitmap_intersect import (
+        bitmap_intersect_counts, pack_bitmap_rows, unpack_witness_counts,
+        _EDGE_BLOCK)
+
+    n = csr.n_rows
+    noff, es, ec = _oriented_csr(csr)
+    ne = es.shape[0]
+    if ne == 0:
+        return TcResult(0, np.zeros(n, np.int32), 0.0)
+    bitmap = jnp.asarray(pack_bitmap_rows(n, es, ec))
+    e2 = -(-ne // _EDGE_BLOCK) * _EDGE_BLOCK
+    eu = np.full(e2, n, np.int32)          # pad edges hit the all-zero row
+    ev = np.full(e2, n, np.int32)
+    eu[:ne] = es
+    ev[:ne] = ec
+    eu_d, ev_d = jnp.asarray(eu), jnp.asarray(ev)
+    if warmup:
+        fence(bitmap_intersect_counts(eu_d, ev_d, bitmap))
+    t = Timer().begin()
+    cnt, crole = bitmap_intersect_counts(eu_d, ev_d, bitmap)
+    ms = t.end(sync=(cnt, crole))
+    cnt = np.asarray(cnt)[:ne].astype(np.int64)
+    vt = unpack_witness_counts(np.asarray(crole), n)
+    np.add.at(vt, es, cnt)                 # u-role
+    np.add.at(vt, ec, cnt)                 # v-role
+    return TcResult(int(cnt.sum()), vt.astype(np.int32), ms)
 
 
 # ------------------------------------------------------------------ #
@@ -191,11 +229,20 @@ def _run_sorted(csr: Csr, warmup: bool) -> TcResult:
     return TcResult(total, vt.astype(np.int32), ms)
 
 
-def run(csr: Csr, *, warmup: bool = True, dense: bool | None = None
-        ) -> TcResult:
-    if dense is None:
-        dense = csr.n_rows <= _DENSE_MAX_V
-    return _run_dense(csr, warmup) if dense else _run_sorted(csr, warmup)
+def run(csr: Csr, *, warmup: bool = True, dense: bool | None = None,
+        variant: str | None = None) -> TcResult:
+    """variant: None (auto) | 'dense' | 'bitmap' | 'sorted'."""
+    if variant is None:
+        if dense if dense is not None else csr.n_rows <= _DENSE_MAX_V:
+            variant = "dense"
+        elif jax.default_backend() == "tpu" and (
+                (csr.n_rows + 1) * (-(-csr.n_rows // 32)) * 4
+                <= _BITMAP_MAX_BYTES):
+            variant = "bitmap"
+        else:
+            variant = "sorted"
+    return {"dense": _run_dense, "bitmap": _run_bitmap,
+            "sorted": _run_sorted}[variant](csr, warmup)
 
 
 def cpu_reference(csr) -> tuple[int, np.ndarray]:

@@ -272,10 +272,23 @@ def route_permutation(gather_idx: np.ndarray, *, cache: bool = True
     if path is not None:
         store: dict = {}
         _plan_to_store(plan, store, "")
-        tmp = path + f".tmp{os.getpid()}.npz"
+        _atomic_savez(path, store)
+    return plan
+
+
+def _atomic_savez(path: str, store: dict) -> None:
+    """Best-effort atomic cache write; concurrent writers may race on the
+    temp file (same pid across containers, cleanup crossfire) — losing a
+    cache entry is fine, failing the computation is not."""
+    tmp = path + f".tmp{os.getpid()}.npz"
+    try:
         np.savez(tmp, **store)
         os.replace(tmp, path)
-    return plan
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _route_cube_cached(gather_idx: np.ndarray, cache: bool):
@@ -305,9 +318,7 @@ def _route_cube_cached(gather_idx: np.ndarray, cache: bool):
         store["meta"] = np.asarray(
             [len(plan.stages), plan.length, plan.wide], np.int64)
         store["form"] = np.asarray(plan.form)
-        tmp = path + f".tmp{os.getpid()}.npz"
-        np.savez(tmp, **store)
-        os.replace(tmp, path)
+        _atomic_savez(path, store)
     return plan
 
 
