@@ -19,15 +19,15 @@ from essentials_tpu.framework.enactor import enact, default_converged, EnactResu
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
-    sparse_enabled, compact_frontier, _neighborhoods_idx, frontier_idx_ok,
-    k_for)
+    spray_enabled, compact_frontier, frontier_out_degree, spray_candidates,
+    SPRAY_BUDGET, SPRAY_K)
 
 
 class ColorState(NamedTuple):
     """The uncolored set only SHRINKS, so once it fits the index list the
     sparse path keeps it current by filtering (no O(V) recompaction)."""
     colors: jax.Array       # int32[Vp], -1 = uncolored
-    randoms: jax.Array      # float32[Vp] random priorities
+    randoms: jax.Array      # int32[Vp] priorities (degree-LF | random rank)
     frontier: jax.Array     # bool[Vp] uncolored vertices
     fidx: jax.Array         # int32[K]
     fcount: jax.Array       # int32
@@ -43,18 +43,28 @@ class ColorResult(NamedTuple):
 def init(g: Graph, seed: int = 0) -> ColorState:
     vp = g.n_vertices_padded
     key = jax.random.PRNGKey(seed)
-    # strictly tie-free priorities: random permutation rank per vertex
-    randoms = jax.random.permutation(key, vp).astype(jnp.float32)
+    # Largest-degree-first priorities with a tie-free random rank in the
+    # low bits: on power-law graphs hubs become local extrema (and get
+    # colored) in the first rounds instead of waiting for their whole
+    # neighborhoods to drain — far fewer rounds than pure-random
+    # (Jones-Plassmann LF; the reference uses pure random, color.hxx:63).
+    rank_bits = max(int(np.ceil(np.log2(max(vp, 2)))), 1)
+    deg_bits = 31 - rank_bits
+    deg = jnp.minimum(g.out_degrees().astype(jnp.int32),
+                      (1 << deg_bits) - 1)
+    rank = jax.random.permutation(key, vp).astype(jnp.int32)
+    randoms = jnp.bitwise_or(jnp.left_shift(deg, rank_bits), rank)
     colors = jnp.full(vp, -1, jnp.int32)
     return ColorState(colors, randoms, full_frontier(g),
-                      jnp.full(k_for(g), g.pad_vertex, jnp.int32),
+                      jnp.full(SPRAY_K, g.pad_vertex, jnp.int32),
                       jnp.int32(g.n_vertices), jnp.asarray(False))
 
 
 def step(g: Graph, state: ColorState, it) -> ColorState:
     colors, randoms, frontier, fidx, fcount, fvalid = state
-    K = k_for(g)
+    K = SPRAY_K
     vp = g.n_vertices_padded
+    imax = jnp.iinfo(jnp.int32).max
 
     def dense_sweep(f):
         # max / min priority among *uncolored* neighbors of each vertex;
@@ -74,23 +84,34 @@ def step(g: Graph, state: ColorState, it) -> ColorState:
         nf = frontier & ~(is_max | is_min)
         return nc, nf
 
-    if not sparse_enabled(g):
+    if not spray_enabled(g):
         nc, nf = finish(*dense_sweep(frontier))
         return ColorState(nc, randoms, nf, fidx, fcount, fvalid)
 
+    offs, deg = jax.lax.cond(
+        fvalid, lambda _: frontier_out_degree(g, fidx),
+        lambda _: (jnp.zeros(K, jnp.int32), jnp.zeros(K, jnp.int32)), None)
+    take_spray = fvalid & (jnp.sum(deg) <= SPRAY_BUDGET)
+
     def sparse(_):
-        _, nb, valid = _neighborhoods_idx(g, fidx)
-        pri = randoms[fidx][:, None]
-        ninf = jnp.float32(-1.0)
-        nbr_max = jnp.full(vp, ninf, jnp.float32).at[nb].max(
-            jnp.where(valid, pri, ninf), mode="drop")
-        big = jnp.float32(vp + 1)
-        nbr_min = jnp.full(vp, big, jnp.float32).at[nb].min(
-            jnp.where(valid, pri, big), mode="drop")
+        # budgeted spray: enumerate exactly the uncolored set's out-edges
+        # (degree-skew tolerant — no per-vertex degree cap)
+        _, nb, _, valid = spray_candidates(g, fidx, offs, deg, SPRAY_BUDGET)
+        # pri[src] per candidate slot: per-segment-constant expansion
+        # (scatter K diffs + cumsum; see spray_candidates' docstring)
+        pfx = jnp.cumsum(deg) - deg
+        pri_seg = jnp.where(fidx == g.pad_vertex, 0, randoms[fidx])
+        d = jnp.diff(pri_seg, prepend=jnp.zeros(1, jnp.int32))
+        z = jnp.zeros(SPRAY_BUDGET, jnp.int32).at[pfx].add(d, mode="drop")
+        pri_e = jnp.cumsum(z)
+        nbr_max = jnp.full(vp, -imax, jnp.int32).at[nb].max(
+            jnp.where(valid, pri_e, -imax), mode="drop")
+        nbr_min = jnp.full(vp, imax, jnp.int32).at[nb].min(
+            jnp.where(valid, pri_e, imax), mode="drop")
         return nbr_max, nbr_min
 
-    nbr_max, nbr_min = jax.lax.cond(fvalid, sparse,
-                                    lambda _: dense_sweep(frontier), None)
+    nbr_max, nbr_min = jax.lax.cond(
+        take_spray, sparse, lambda _: tuple(dense_sweep(frontier)), None)
     nc, nf = finish(nbr_max, nbr_min)
 
     def next_idx_sparse(_):
@@ -107,8 +128,7 @@ def step(g: Graph, state: ColorState, it) -> ColorState:
         return fi2, cnt
 
     fi2, cnt = jax.lax.cond(fvalid, next_idx_sparse, next_idx_dense, None)
-    fv = (cnt <= K) & frontier_idx_ok(g, fi2, cnt)
-    return ColorState(nc, randoms, nf, fi2, cnt, fv)
+    return ColorState(nc, randoms, nf, fi2, cnt, cnt <= K)
 
 
 def run(g: Graph, *, seed: int = 0, max_iterations: int | None = None,

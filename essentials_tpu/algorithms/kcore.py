@@ -21,7 +21,8 @@ from essentials_tpu.framework.enactor import enact, EnactResult
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
-    sparse_enabled, compact_frontier, _neighborhoods_idx, dcap, k_for)
+    spray_enabled, compact_frontier, frontier_out_degree, spray_candidates,
+    SPRAY_BUDGET, SPRAY_K)
 
 
 class KcoreState(NamedTuple):
@@ -44,9 +45,11 @@ def init(g: Graph) -> KcoreState:
 
 
 def step(g: Graph, state: KcoreState, it) -> KcoreState:
-    """One peeling sweep. k-bump rounds (empty peel) skip the O(E) advance
-    entirely; small peel sets take the sparse O(|peel|*dmax) path on
-    low-degree graphs."""
+    """One peeling sweep. Empty peels jump k straight to
+    min(remaining degree)+1 (collapsing the reference's one-at-a-time
+    k bumps, kcore.hxx:158-178); small peel sets run the budgeted spray
+    path (O(sum of peeled degrees), degree-skew tolerant) instead of the
+    dense O(E) advance."""
     core, deg, alive, k = state
     vp = g.n_vertices_padded
     peel = alive & (deg < k)
@@ -63,26 +66,30 @@ def step(g: Graph, state: KcoreState, it) -> KcoreState:
         return jnp.zeros(vp, jnp.int32)
 
     cnt = jnp.count_nonzero(peel)
-    if sparse_enabled(g):
+    if spray_enabled(g):
         def sparse(_):
-            idx = compact_frontier(peel, k_for(g), g.pad_vertex)
-            _, nb, valid = _neighborhoods_idx(g, idx)
+            idx = compact_frontier(peel, SPRAY_K, g.pad_vertex)
+            offs, d0 = frontier_out_degree(g, idx)
+            _, nb, _, valid = spray_candidates(g, idx, offs, d0,
+                                               SPRAY_BUDGET)
             return jnp.zeros(vp, jnp.int32).at[nb].add(
                 valid.astype(jnp.int32), mode="drop")
 
-        # the candidate matrix truncates rows past dcap: sparse only when
-        # every peeled vertex's ORIGINAL out-degree fits
+        # spray gate: the peeled vertices' ORIGINAL out-edges must fit the
+        # budget (peeled degree < k only counts surviving neighbors)
         deg0 = g.out_degrees()
-        degok = jnp.max(jnp.where(peel, deg0, 0)) <= dcap(g)
+        sumdeg = jnp.sum(jnp.where(peel, deg0, 0))
         branch = jnp.where(cnt == 0, 0,
-                           jnp.where((cnt <= k_for(g)) & degok, 1, 2))
+                           jnp.where((cnt <= SPRAY_K)
+                                     & (sumdeg <= SPRAY_BUDGET), 1, 2))
         removed_nbrs = jax.lax.switch(branch.astype(jnp.int32),
                                       [skip, sparse, dense], None)
     else:
         removed_nbrs = jax.lax.cond(cnt == 0, skip, dense, None)
     deg = deg - removed_nbrs
-    # if nothing peeled this sweep, advance k
-    k = jnp.where(cnt > 0, k, k + 1)
+    # empty sweep: jump k past the levels no vertex can peel at
+    min_alive_deg = jnp.min(jnp.where(alive, deg, jnp.iinfo(jnp.int32).max))
+    k = jnp.where(cnt > 0, k, jnp.maximum(k + 1, min_alive_deg + 1))
     return KcoreState(core, deg, alive, k)
 
 

@@ -49,51 +49,109 @@ def init(g: Graph) -> MstState:
                     jnp.asarray(True))
 
 
+def _float_order_key(w: jax.Array) -> jax.Array:
+    """Order-preserving float32 -> int32 map (signed comparison)."""
+    i = jax.lax.bitcast_convert_type(w.astype(jnp.float32), jnp.int32)
+    flip = jnp.bitwise_and(jax.lax.shift_right_arithmetic(i, 31),
+                           jnp.int32(0x7FFFFFFF))
+    return jnp.bitwise_xor(i, flip)
+
+
+def _expand_by_src(g: Graph, vals):
+    from essentials_tpu.ops.advance import _expand_src_multi
+    return _expand_src_multi(g, vals)
+
+
+def _expand_by_dst_to_csr(g: Graph, v):
+    """v[dst(e)] on the CSR edge axis: expand over the CSC offsets, route
+    CSC->CSR (fused chain when available)."""
+    from essentials_tpu.ops.segment import (expand_multi_then_route,
+                                            expand_vertex_to_edges,
+                                            apply_permutation)
+    ep = g.n_edges_padded
+    if g.off_route_csc is not None and g.route_bwd is not None:
+        from essentials_tpu.ops.cube_router import chainable
+        if chainable(g.off_route_csc.plan, g.route_bwd):
+            return expand_multi_then_route((v,), g.off_route_csc,
+                                           g.route_bwd, n_valid=ep)[0]
+    exp = expand_vertex_to_edges(v, g.csc_offsets, ep)
+    return apply_permutation(g.csc_edge_ids, exp)
+
+
+def _combine_src_min(g: Graph, vals: jax.Array) -> jax.Array:
+    from essentials_tpu.ops.segment import (combine_by_offsets_routed,
+                                            combine_by_offsets)
+    if g.off_route_csr is not None:
+        return combine_by_offsets_routed(vals, g.off_route_csr, Combine.MIN,
+                                         g.csr_seg_flags)
+    return combine_by_offsets(vals, g.row_offsets, Combine.MIN,
+                              g.csr_seg_flags)
+
+
 def step(g: Graph, state: MstState, it) -> MstState:
+    """One Borůvka round, two-level argmin (VERDICT round-1 item #5):
+
+    edge level (static CSR segments, gather-free engine): per VERTEX, the
+    lexicographic-min cross edge (weight, then dst) — valid pre-reduction
+    because comp is constant within a vertex's out-edges, and within one
+    vertex min-dst IS the canonical-undirected-key order.
+    vertex level (V-sized, scatter): per COMPONENT, min over its member
+    vertices' candidates with full (w, cu, cv) tiebreak. Replaces the
+    E-sized dynamic-key scatters (~7.5 ns/elem) with V-sized ones."""
     comp, in_mst, _ = state
     vp = g.n_vertices_padded
-    src, dst, w = g.src_indices, g.col_indices, g.values
-    eid = jnp.arange(g.n_edges_padded, dtype=jnp.int32)
+    ep = g.n_edges_padded
+    iota_v = jnp.arange(vp, dtype=jnp.int32)
 
-    cs, cd = comp[src], comp[dst]
-    cross = (cs != cd) & g.edge_mask()
+    # --- edge level: engine chains over static src segments ---
+    comp_src = _expand_by_src(g, (comp,))[0]
+    comp_dst = _expand_by_dst_to_csr(g, comp)
+    cross = (comp_src != comp_dst) & g.edge_mask()
 
-    # 1. min weight per component (over its outgoing cross edges)
-    wx = jnp.where(cross, w, jnp.inf)
-    wmin = segment_combine(wx, cs, vp, Combine.MIN, indices_are_sorted=False)
+    wkey = jnp.where(cross, _float_order_key(g.values), INT_MAX)
+    wmin_v = _combine_src_min(g, wkey)                      # [Vp]
+    wmin_e = _expand_by_src(g, (jnp.where(wmin_v == INT_MAX, INT_MAX - 1,
+                                          wmin_v),))[0]
+    at_min = cross & (wkey == wmin_e)
+    dx = jnp.where(at_min, g.col_indices, INT_MAX)
+    dmin_v = _combine_src_min(g, dx)                        # [Vp]
+    dmin_e = _expand_by_src(g, (jnp.where(dmin_v == INT_MAX, INT_MAX - 1,
+                                          dmin_v),))[0]
+    eid = jnp.arange(ep, dtype=jnp.int32)
+    ex = jnp.where(at_min & (g.col_indices == dmin_e), eid, INT_MAX)
+    emin_v = _combine_src_min(g, ex)                        # [Vp] per-vertex
 
-    # 2. canonical-key tiebreak among weight-minimal edges: both endpoints of
-    # a weight tie must agree on ONE undirected edge, so break on
-    # (min(u,v), max(u,v)) in two staged int32 segment-MIN passes.
-    cu = jnp.minimum(src, dst)
-    cv = jnp.maximum(src, dst)
-    at_min = cross & (w == wmin[cs])
-    ux = jnp.where(at_min, cu, INT_MAX)
-    umin = segment_combine(ux, cs, vp, Combine.MIN, indices_are_sorted=False)
-    at_u = at_min & (cu == umin[cs])
-    vx = jnp.where(at_u, cv, INT_MAX)
-    vmin = segment_combine(vx, cs, vp, Combine.MIN, indices_are_sorted=False)
+    # --- vertex level: per-component lexicographic (w, cu, cv) argmin ---
+    has_cand = wmin_v < INT_MAX
+    cu = jnp.minimum(iota_v, dmin_v)
+    cv = jnp.maximum(iota_v, dmin_v)
+    kw = dict(num_segments=vp, indices_are_sorted=False)
+    wminc = jax.ops.segment_min(wmin_v, comp, **kw)
+    at_w = has_cand & (wmin_v == wminc[comp])
+    uminc = jax.ops.segment_min(jnp.where(at_w, cu, INT_MAX), comp, **kw)
+    at_u = at_w & (cu == uminc[comp])
+    vminc = jax.ops.segment_min(jnp.where(at_u, cv, INT_MAX), comp, **kw)
+    at_v = at_u & (cv == vminc[comp])
+    eminc = jax.ops.segment_min(jnp.where(at_v, emin_v, INT_MAX), comp, **kw)
 
-    # 3. directed-copy edge id for the winning undirected edge (per component)
-    ex = jnp.where(at_u & (cv == vmin[cs]), eid, INT_MAX)
-    emin = segment_combine(ex, cs, vp, Combine.MIN, indices_are_sorted=False)
+    has_edge = eminc < INT_MAX
+    safe_e = jnp.where(has_edge, eminc, 0)
+    target = jnp.where(has_edge, comp[g.col_indices[safe_e]], iota_v)
 
-    has_edge = emin < INT_MAX
-    safe_e = jnp.where(has_edge, emin, 0)
-    target = jnp.where(has_edge, comp[dst[safe_e]], jnp.arange(vp, dtype=jnp.int32))
+    # resolve mutual hooks: the smaller root stays a root
+    mutual = (target[target] == iota_v) & (iota_v < target)
+    parent = jnp.where(mutual, iota_v, target)
 
-    # 4. resolve mutual hooks: the smaller root stays a root
-    mutual = (target[target] == jnp.arange(vp)) & (jnp.arange(vp) < target)
-    parent = jnp.where(mutual, jnp.arange(vp, dtype=jnp.int32), target)
-
-    # 5. record each actually-hooking component's chosen edge
-    hooks = has_edge & (parent != jnp.arange(vp))
-    in_mst = in_mst.at[jnp.where(hooks, safe_e, g.n_edges_padded - 1)].max(
+    # record each actually-hooking component's chosen edge
+    hooks = has_edge & (parent != iota_v)
+    in_mst = in_mst.at[jnp.where(hooks, safe_e, ep - 1)].max(
         hooks & g.edge_mask()[safe_e])
 
-    # 6. pointer jumping to full depth (log2(Vp) rounds)
-    depth = max(int(np.ceil(np.log2(max(vp, 2)))), 1)
-    parent = jax.lax.fori_loop(0, depth, lambda _, p: p[p], parent)
+    # pointer jumping until stable (hook trees are shallow: 2-3 jumps)
+    def not_flat(p):
+        return jnp.any(p[p] != p)
+
+    parent = jax.lax.while_loop(not_flat, lambda p: p[p], parent)
     new_comp = parent[comp]
 
     changed = jnp.any(hooks)

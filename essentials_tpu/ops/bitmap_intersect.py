@@ -37,8 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_EDGE_BLOCK = 512            # edges per grid step (SMEM block: 2 x 2 KB)
-_NBUF = 4                    # DMA ring depth (rows in flight: 2 edges)
+_EDGE_BLOCK = 1024           # edges per grid step (1-D SMEM blocks must be
+                             # 1024-element tiled to match XLA's layout)
+_NBUF = 16                   # v-row DMA ring depth
+_LOOKAHEAD = 12              # v-row prefetch distance (hides ~µs DMA latency)
 _INTERPRET = False           # set True in tests to run the kernel on CPU
 
 
@@ -52,37 +54,47 @@ def _popc(x):
 
 
 def _kernel(witness, eu_ref, ev_ref, b_hbm, cnt_ref, crole_ref,
-            rows, sems):
-    """One grid step: _EDGE_BLOCK edges; rows = [_NBUF, R, 128] ring."""
+            vrows, urow, vsems, usem, cur_u):
+    """One grid step: _EDGE_BLOCK edges.
+
+    v-rows stream through a deep DMA ring (_NBUF slots, _LOOKAHEAD
+    prefetch). The u-row sits in a single buffer refreshed only when the
+    source vertex changes — the edge list is CSR-sorted, so that is once
+    per vertex, not once per edge. cur_u (SMEM scratch) carries the loaded
+    row id across grid steps (the grid is sequential)."""
     eb = eu_ref.shape[0]
-    R = rows.shape[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         crole_ref[...] = jnp.zeros_like(crole_ref)
+        cur_u[0] = jnp.int32(-1)
 
-    def dma(slot, row_idx):
+    def vdma(slot, row_idx):
         return pltpu.make_async_copy(
-            b_hbm.at[row_idx], rows.at[slot], sems.at[slot])
+            b_hbm.at[row_idx], vrows.at[slot], vsems.at[slot])
 
-    # warm up: first edge's two rows
-    dma(0, eu_ref[0]).start()
-    dma(1, ev_ref[0]).start()
+    for k in range(_LOOKAHEAD):                # warm the ring
+        vdma(k % _NBUF, ev_ref[k % eb]).start()
 
     def body(e, crole):
-        nxt = (e + 1) % eb                     # prefetch next edge's rows
-        s0 = (2 * (e + 1)) % _NBUF
-        s1 = s0 + 1
+        nxt = e + _LOOKAHEAD                   # keep _LOOKAHEAD in flight
 
-        @pl.when(e + 1 < eb)
+        @pl.when(nxt < eb)
         def _():
-            dma(s0, eu_ref[nxt]).start()
-            dma(s1, ev_ref[nxt]).start()
+            vdma(nxt % _NBUF, ev_ref[nxt]).start()
 
-        c0 = (2 * e) % _NBUF
-        dma(c0, eu_ref[e]).wait()
-        dma(c0 + 1, ev_ref[e]).wait()
-        w = rows[c0] & rows[c0 + 1]            # [R, 128] int32 bit-words
+        u = eu_ref[e]
+
+        @pl.when(u != cur_u[0])                # u changed: refresh (rare)
+        def _():
+            cp = pltpu.make_async_copy(b_hbm.at[u], urow, usem)
+            cp.start()
+            cp.wait()
+            cur_u[0] = u
+
+        slot = e % _NBUF
+        vdma(slot, ev_ref[e]).wait()
+        w = urow[...] & vrows[slot]            # [R, 128] int32 bit-words
         cnt_ref[e] = jnp.sum(_popc(w))
         if witness:
             s = jax.lax.shift_right_logical
@@ -130,8 +142,11 @@ def bitmap_intersect_counts(eu: jax.Array, ev: jax.Array, bitmap: jax.Array,
                          memory_space=pltpu.VMEM),      # revisited accum
         ],
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, R, LANES), jnp.int32),
+            pltpu.VMEM((_NBUF, R, LANES), jnp.int32),   # v-row ring
+            pltpu.VMEM((R, LANES), jnp.int32),          # current u row
             pltpu.SemaphoreType.DMA((_NBUF,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((1,), jnp.int32),                # loaded u id
         ],
     )
     return pl.pallas_call(

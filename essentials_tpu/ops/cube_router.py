@@ -60,7 +60,10 @@ def cube_routable_length(n: int) -> int | None:
     if n <= _SEG * MAX_WIDE:
         return up(n, 8 * _SEG)
     if n <= _CUBE * MAX_T:
-        return up(n, _CUBE)
+        # T a multiple of 8: the K2 middle kernel transposes [F, B, T]
+        # blocks, and a non-sublane-aligned T minor dim costs masked
+        # relayouts on every stage (measured 142 vs 313 GB/s-model at T=15)
+        return up(n, 8 * _CUBE)
     return None
 
 

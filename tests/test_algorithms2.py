@@ -123,3 +123,17 @@ def test_helpers_search_sort():
     np.testing.assert_array_equal(np.asarray(sk), [3, 2, 1])
     k, v = helpers.sort_pairs(jnp.asarray([3, 1, 2]), jnp.asarray([30, 10, 20]))
     np.testing.assert_array_equal(np.asarray(v), [10, 20, 30])
+
+
+def test_mst_routed_engine():
+    """Two-level argmin on the routed engine (router plans forced on)."""
+    from essentials_tpu.io import generate
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.algorithms import mst
+    coo = generate.rmat(9, 8, seed=11, undirected=True, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=True, build_router=True)
+    res = mst.run(g, warmup=False)
+    ref = mst.cpu_reference(csr)
+    assert abs(res.total_weight - ref) < 1e-3 * max(abs(ref), 1.0)

@@ -150,3 +150,44 @@ def test_bfs_spray_path_end_to_end(monkeypatch):
     res = bfs.run(g, 0, compute_predecessors=False, warmup=False)
     want = bfs.cpu_reference(csr, 0)
     np.testing.assert_array_equal(np.asarray(res.distances), want)
+
+
+def test_color_spray_path_end_to_end(monkeypatch):
+    """Force spray_enabled on a small skewed graph; coloring must stay
+    proper and match the dense-only result's color count regime."""
+    import numpy as np
+    from essentials_tpu.ops import sparse_advance as sa
+    monkeypatch.setattr(sa, "_MIN_EDGES", 0)
+    import importlib
+    from essentials_tpu.algorithms import color
+    importlib.reload(color)
+    from essentials_tpu.io import generate
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    coo = generate.rmat(9, 8, seed=3, undirected=True, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False)
+    res = color.run(g, warmup=False)
+    assert color.validate(csr, res.colors) == 0
+    importlib.reload(color)
+
+
+def test_kcore_spray_path_end_to_end(monkeypatch):
+    """Force spray_enabled on a small skewed graph; core numbers must
+    match the host peeling reference exactly (incl. the k-jump)."""
+    import numpy as np
+    from essentials_tpu.ops import sparse_advance as sa
+    monkeypatch.setattr(sa, "_MIN_EDGES", 0)
+    import importlib
+    from essentials_tpu.algorithms import kcore
+    importlib.reload(kcore)
+    from essentials_tpu.io import generate
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    coo = generate.rmat(9, 8, seed=4, undirected=True, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False)
+    res = kcore.run(g, warmup=False)
+    ref = kcore.cpu_reference(csr)
+    assert np.array_equal(np.asarray(res.core), ref)
+    importlib.reload(kcore)
