@@ -38,9 +38,11 @@ def bench_graph(path: str, runs: int) -> list[dict]:
                 times.append(run_fn(*a, warmup=False, **kw).elapsed_ms)
             ms = float(np.median(times))
             iters = getattr(res, "iterations", 1)
-            st = collect_stats(name, ds, g, ms, iters)
+            st = collect_stats(name, ds, g, ms, iters, cycles_ms=times)
             out.append(json.loads(st.to_json()))
-            print(f"  {name:8s} {ms:10.3f} ms  {st.mteps:10.1f} MTEPS")
+            print(f"  {name:8s} {ms:10.3f} ms  {st.mteps:10.1f} MTEPS  "
+                  f"{st.gbps_effective:8.1f} GB/s "
+                  f"({100 * st.pct_hbm_roofline:5.1f}% HBM)", flush=True)
         except Exception as e:  # keep the suite running
             print(f"  {name:8s} FAILED: {type(e).__name__}: {e}")
             out.append({"algorithm": name, "dataset": ds, "error": str(e)})

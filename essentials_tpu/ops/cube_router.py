@@ -76,7 +76,9 @@ class CubePlan:
     form "wbc": stages (c, b, w, b, c) with layouts
         [W,B,C] [W,C,B] [C,B,W] [C,W,B] [W,B,C]
     form "tfbc": stages (c, b, f, t, f, b, c) with layouts
-        [T,F,B,C] [T,F,C,B] [C,T,B,F] [C,F,B,T] [C,T,B,F] [C,T,F,B] [T,F,B,C]
+        [T,F,B,C] [T,F,C,B] [C,T,B,F] [C,T',B,F] [C,T,B,F] [C,T,F,B] [T,F,B,C]
+    (the t stage is a select-accumulate over the T axis, indices keyed by
+    output slot t')
     """
     stages: tuple            # tuple of index arrays (int8 / int16)
     form: str                # "wbc" | "tfbc"
@@ -152,8 +154,11 @@ def build_cube_plan(gather_idx: np.ndarray) -> CubePlan | None:
         .astype(np.int8)                                  # [T, F, C, B]
     s2 = d2["idx1"].reshape(LANES, LANES, T, F).transpose(0, 2, 1, 3) \
         .astype(np.int8)                                  # [C, T, B, F]
-    s3 = leaf.reshape(LANES, LANES, F, T).transpose(0, 2, 1, 3) \
-        .astype(np.int8)                                  # [C, F, B, T]
+    # t-stage in [C, T', B, F] layout: the kernel runs it as a T-way
+    # select-accumulate (out[t'] gathers x[s3[t']] along the T axis) —
+    # lane-aligned, no 16-lane-minor transposes
+    s3 = leaf.reshape(LANES, LANES, F, T).transpose(0, 3, 1, 2) \
+        .astype(np.int8)                                  # [C, T', B, F]
     s4 = d2["idx3"].reshape(LANES, LANES, T, F).transpose(0, 2, 1, 3) \
         .astype(np.int8)                                  # [C, T, B, F]
     s5 = d1["idx3"].reshape(LANES, T, F, LANES).astype(np.int8)  # [C, T, F, B]
@@ -184,10 +189,13 @@ def invert_cube_plan(plan: CubePlan) -> CubePlan:
               inv_rows(s[0]))
     else:
         # (0,6) same; (1,5) [T,F,C,B]<->[C,T,F,B]; (2,4) same; (3,3) self
+        # s3 is [C, T', B, F] (select layout): invert along the T' axis
+        s3p = s[3].transpose(0, 2, 3, 1)              # [C, B, F, T']
+        inv3 = inv_rows(s3p).transpose(0, 3, 1, 2)    # back to [C, T, B, F]
         ns = (inv_rows(s[6]),
               inv_rows(s[5]).transpose(1, 2, 0, 3),
               inv_rows(s[4]),
-              inv_rows(s[3]),
+              inv3,
               inv_rows(s[2]),
               inv_rows(s[1]).transpose(2, 0, 1, 3),
               inv_rows(s[0]))
@@ -225,9 +233,7 @@ def _ref_apply(x: jax.Array, plan: CubePlan) -> jax.Array:
     a = jnp.take_along_axis(a, s[1], axis=3)              # gather b
     a = jnp.transpose(a, (2, 0, 3, 1))                    # [C, T, B, F]
     a = jnp.take_along_axis(a, s[2], axis=3)              # gather f
-    a = jnp.transpose(a, (0, 3, 2, 1))                    # [C, F, B, T]
-    a = jnp.take_along_axis(a, s[3], axis=3)              # gather t
-    a = jnp.transpose(a, (0, 3, 2, 1))                    # [C, T, B, F]
+    a = jnp.take_along_axis(a, s[3], axis=1)              # gather t (select)
     a = jnp.take_along_axis(a, s[4], axis=3)              # gather f
     a = jnp.swapaxes(a, 2, 3)                             # [C, T, F, B]
     a = jnp.take_along_axis(a, s[5], axis=3)              # gather b
@@ -355,23 +361,21 @@ def _k2_wbc_kernel(W, x_ref, iw_ref, ib_ref, o_ref):
 
 
 def _k2_tfbc_kernel(T, x_ref, i2_ref, i3_ref, i4_ref, i5_ref, o_ref):
-    """One c-slice: gather f, gather t (transposed + padded), gather f,
-    gather b."""
+    """One c-slice: gather f, T-way select over t, gather f, gather b.
+
+    The t stage is a select-accumulate over the (small, <= 40) T axis in
+    lane-aligned [T, B, F] layout — replacing the previous
+    transpose -> 16-lane-minor gather -> transpose sandwich that cost ~7
+    normal passes in Mosaic relayouts."""
     F = LANES
     x = _widen(x_ref[0, 0]).reshape(T, F, LANES)          # [T, F, B]
     a = jnp.swapaxes(x, 1, 2)                             # [T, B, F]
     a = _g2(a, i2_ref[0])                                 # gather f
-    a = jnp.transpose(a, (2, 1, 0))                       # [F, B, T]
-    i3 = i3_ref[0].astype(jnp.int32)                      # [F, B, T]
-    Tp = -(-T // 8) * 8     # Mosaic gathers lower at any width <= 128;
-    if Tp != T:             # pad only to a sublane multiple (VMEM-frugal)
-        pad = jnp.zeros((F, LANES, Tp - T), jnp.int32)
-        a = jnp.concatenate([a, pad], axis=2)
-        i3 = jnp.concatenate([i3, pad], axis=2)
-    a = _g2(a, i3)                                        # gather t
-    a = (jnp.transpose(a, (2, 1, 0))[:T] if Tp != T
-         else jnp.transpose(a, (2, 1, 0)))                # [T, B, F]
-    a = _g2(a, i4_ref[0])                                 # gather f
+    i3 = i3_ref[0].astype(jnp.int32)                      # [T', B, F]
+    acc = jnp.zeros_like(a)
+    for t in range(T):                                    # gather t (select)
+        acc = jnp.where(i3 == t, a[t][None], acc)
+    a = _g2(acc, i4_ref[0])                               # gather f
     a = jnp.swapaxes(a, 1, 2)                             # [T, F, B]
     a = _g2(a, i5_ref[0])                                 # gather b
     a = a.reshape(T * F, LANES)
@@ -414,7 +418,7 @@ def _pallas_apply(xs: tuple, plan: CubePlan, pre_scan: bool = False,
         i6 = s[6].reshape(M, LANES, LANES)
         k2_kernel = partial(_k2_tfbc_kernel, T)
         k2_idx = [(s[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
-                  (s[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+                  (s[3], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
                   (s[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
                   (s[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
 
@@ -642,12 +646,12 @@ def apply_cube_chain(xs, plan_a: CubePlan, plan_b: CubePlan,
             k2a_kernel = partial(_k2_tfbc_kernel, T)
             k2a_idx = [
                 (sa[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
-                (sa[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+                (sa[3], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
                 (sa[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
                 (sa[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
             k2b_idx = [
                 (sb[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
-                (sb[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+                (sb[3], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
                 (sb[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
                 (sb[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
             k2b_kernel = partial(_k2_tfbc_kernel, T)
@@ -740,7 +744,7 @@ def _plan_kparts(plan: CubePlan, bs):
     M = T * LANES
     k2_kernel = partial(_k2_tfbc_kernel, T)
     k2_idx = [(s[2], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
-              (s[3], bs((1, LANES, LANES, T), lambda c, p: (c, 0, 0, 0))),
+              (s[3], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
               (s[4], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0))),
               (s[5], bs((1, T, LANES, LANES), lambda c, p: (c, 0, 0, 0)))]
     return (s[0].reshape(M, LANES, LANES), s[1].reshape(M, LANES, LANES),

@@ -300,7 +300,7 @@ def _route_cube_cached(gather_idx: np.ndarray, cache: bool):
     if cdir is not None:
         import hashlib
         h = hashlib.blake2b(gather_idx.tobytes(), digest_size=16)
-        h.update(f"cube1:{L}".encode())
+        h.update(f"cube2:{L}".encode())
         path = os.path.join(cdir, f"cplan_{h.hexdigest()}.npz")
         if os.path.exists(path):
             try:

@@ -348,6 +348,40 @@ def combine_by_offsets_routed(edge_vals: jax.Array, route: OffsetsRoute,
     return jnp.where(route.seg_len > 0, out, ident)
 
 
+def combine_minmax_multi(edge_vals_list, active: jax.Array,
+                         route: OffsetsRoute, seg_flags: jax.Array):
+    """Per-segment (MAX, MIN) over ACTIVE edges of several int32 edge
+    arrays, with ONE shared backward boundary route.
+
+    Each payload costs two segmented scans; the 2m scanned prefix arrays
+    then ride a single multi-payload inverse-offsets route (the per-route
+    index traffic — the fixed cost that dominates small-payload combines —
+    is paid once instead of 2m times). Returns [(max [n_seg], min [n_seg]),
+    ...] with -2^31 / 2^31-1 identities at empty/inactive segments.
+    Powers multi-wave coloring (m independent sets per sweep)."""
+    from essentials_tpu.ops.permute import apply_plan_multi
+    n_seg = route.n_seg
+    rs = route.run_start
+    imax = jnp.iinfo(jnp.int32).max
+    carriers = []
+    for v in edge_vals_list:
+        v = v.astype(jnp.int32)
+        for opname, ident in (("max", -imax - 1), ("min", imax)):
+            sv = _segscan(jnp.where(active, v, ident), seg_flags, opname)
+            pad = jnp.full(1, ident, jnp.int32)
+            carriers.append(jnp.concatenate([pad, sv]))
+    routed = apply_plan_multi(tuple(carriers), route.inv_plan,
+                              n_valid=n_seg + 1)
+    outs = []
+    for i in range(len(edge_vals_list)):
+        mx = _segscan(routed[2 * i], rs, "first")[1:]
+        mn = _segscan(routed[2 * i + 1], rs, "first")[1:]
+        mx = jnp.where(route.seg_len > 0, mx, -imax - 1)
+        mn = jnp.where(route.seg_len > 0, mn, imax)
+        outs.append((mx, mn))
+    return outs
+
+
 # --------------------------------------------------------------------- #
 # generic keyed fallback (unsorted keys, e.g. MST component ids)
 

@@ -87,6 +87,65 @@ def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
                dist0, frontier0)
 
 
+def dist_sssp(dg: DistGraph, mesh: Mesh, source: int, *,
+              max_iterations: int | None = None):
+    """Multi-device SSSP (Bellman-Ford frontier relaxation): per superstep,
+    all_gather the sharded distance vector, relax every local edge
+    (dist[src] + w), MIN-combine per owned destination; converge when no
+    distance improved anywhere (psum'd flag). Returns distances [Vtot]
+    (unreached = +inf)."""
+    vtot = dg.n_vertices_global
+    vs = dg.block_size
+    es = dg.edges_per_device
+    max_it = max_iterations or dg.n_vertices + 1
+    use_pallas = jax.default_backend() == "tpu"
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+                       P(AXIS, None), P(AXIS)),
+             out_specs=P(AXIS), check_vma=False)
+    def run(soff, doff, route, w, vvalid, dist0):
+        soff, doff, vvalid = soff[0], doff[0], vvalid[0]
+        route_l = _local(route)
+        # static per-device data: route the weights to dst order once
+        we = apply_plan(w[0], route_l, use_pallas=use_pallas)
+
+        def cond(carry):
+            dist, improved, it = carry
+            total = jax.lax.psum(improved.astype(jnp.int32), AXIS)
+            return jnp.logical_and(it < max_it,
+                                   jnp.logical_or(it == 0, total > 0))
+
+        def body(carry):
+            dist, _, it = carry
+            d_full = jax.lax.all_gather(dist, AXIS, tiled=True)  # [Vtot]
+            de = _spread_local(d_full, soff, route_l, doff, es,
+                               use_pallas=use_pallas)
+            cand = combine_by_offsets(
+                jnp.where(jnp.isfinite(de), de + we, jnp.inf), doff,
+                Combine.MIN,
+                seg_flags=_dst_seg_flags(doff, es))[:vs]
+            better = vvalid & (cand < dist)
+            dist = jnp.where(better, cand, dist)
+            return dist, jnp.any(better), it + 1
+
+        dist, _, _ = jax.lax.while_loop(
+            cond, body, (dist0, jnp.asarray(False), 0))
+        return dist
+
+    dist0 = jnp.full(vtot, jnp.inf, jnp.float32).at[source].set(0.0)
+    return run(dg.src_offsets, dg.dst_offsets, dg.route, dg.weights,
+               dg.vertex_valid, dist0)
+
+
+def _dst_seg_flags(doff, es):
+    """Static segment-start flags over the local dst-sorted edge axis."""
+    flags = jnp.zeros(es, jnp.bool_)
+    starts = jnp.clip(doff[:-1], 0, es - 1)
+    nonempty = doff[1:] > doff[:-1]
+    return flags.at[starts].max(nonempty)
+
+
 def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
                   tol: float = 1e-6, max_iterations: int = 100):
     """Multi-device PageRank (unweighted spread). Returns ranks [Vtot]."""

@@ -73,3 +73,25 @@ def test_dist_pagerank_sums_to_one(chesapeake_csr, mesh8):
             break
         pr = new
     assert compare(p[:n], pr.astype(np.float32), atol=1e-4, rtol=1e-3) == 0
+
+
+def test_dist_sssp_matches_single_device(chesapeake_csr, mesh8):
+    from essentials_tpu.parallel.distributed import dist_sssp
+    from essentials_tpu.algorithms import sssp
+    dg = partition_graph(chesapeake_csr, 8)
+    d = np.asarray(dist_sssp(dg, mesh8, 0))[:chesapeake_csr.n_rows]
+    ref = sssp.cpu_reference(chesapeake_csr, 0)
+    assert np.allclose(d, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dist_sssp_weighted_rmat(mesh8):
+    from essentials_tpu.parallel.distributed import dist_sssp
+    from essentials_tpu.algorithms import sssp
+    coo = generate.rmat(8, 8, seed=6, undirected=True, weighted=True)
+    csr = Csr.from_coo(coo)
+    dg = partition_graph(csr, 8)
+    d = np.asarray(dist_sssp(dg, mesh8, 3))[:csr.n_rows]
+    ref = sssp.cpu_reference(csr, 3)
+    finite = np.isfinite(ref)
+    assert np.array_equal(np.isfinite(d), finite)
+    assert np.allclose(d[finite], ref[finite], rtol=1e-5, atol=1e-5)
