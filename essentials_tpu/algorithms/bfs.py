@@ -22,8 +22,8 @@ from essentials_tpu.framework.enactor import enact, default_converged, EnactResu
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, advance_count, Combine, AdvanceIO
 from essentials_tpu.ops.sparse_advance import (
-    spray_enabled, spray_k, SPRAY_BUDGET, frontier_out_degree, spray_reach,
-    compact_frontier)
+    spray_enabled, spray_k, SPRAY_BUDGET, SPRAY_K, TINY_BUDGET, TINY_K,
+    frontier_out_degree, frontier_degree_sum, spray_reach, compact_frontier)
 
 UNREACHED = np.iinfo(np.int32).max
 
@@ -57,11 +57,16 @@ def init(g: Graph, source: int | jax.Array) -> BfsState:
 
 
 def step(g: Graph, state: BfsState, it) -> BfsState:
-    """One level. Work-adaptive lax.cond: when the frontier index list is
-    current and its total out-degree fits the spray budget, run the
-    O(sum deg) spray path (ops/sparse_advance.py); otherwise the dense
-    O(E) segment engine (which also compacts the next index list, so
-    every graph goes spray for its small head/tail levels)."""
+    """One level. Work-adaptive 3-way lax.switch on the frontier's total
+    out-degree (computed from the boolmap — one cheap [Vp] reduce, no
+    per-index gathers outside the taken branch):
+
+      tiny spray   sum(deg) <= 4K   ~0.2 ms   head/tail levels
+      spray        sum(deg) <= 32K  ~1 ms     transition levels
+      dense        otherwise        O(E) fused 7-kernel superstep
+
+    The dense branch also compacts the next index list when it fits, so
+    every graph drops back to spray for its small levels."""
     dist, frontier, fidx, fcount, fvalid = state
     K = spray_k(g)
     vp = g.n_vertices_padded
@@ -75,14 +80,18 @@ def step(g: Graph, state: BfsState, it) -> BfsState:
         return BfsState(jnp.where(newly, it + 1, dist), newly, fidx,
                         jnp.int32(0), jnp.asarray(False))
 
-    offs, deg = jax.lax.cond(
-        fvalid, lambda _: frontier_out_degree(g, fidx),
-        lambda _: (jnp.zeros(K, jnp.int32), jnp.zeros(K, jnp.int32)), None)
-    take_spray = fvalid & (jnp.sum(deg) <= SPRAY_BUDGET)
+    degsum = frontier_degree_sum(g, frontier)
 
-    def sparse(_):
-        return spray_reach(g, fidx, offs, deg, dist == UNREACHED,
-                           SPRAY_BUDGET, K)
+    def spray_tier(budget, k):
+        def go(_):
+            offs, deg = frontier_out_degree(g, fidx[:k])
+            newly, nidx, nc = spray_reach(g, fidx[:k], offs, deg,
+                                          dist == UNREACHED, budget, k)
+            if k < K:
+                nidx = jnp.concatenate(
+                    [nidx, jnp.full(K - k, g.pad_vertex, jnp.int32)])
+            return newly, nidx, nc
+        return go
 
     def dense(_):
         newly = dense_reach(frontier) & (dist == UNREACHED)
@@ -94,7 +103,12 @@ def step(g: Graph, state: BfsState, it) -> BfsState:
             lambda m: jnp.full(K, g.pad_vertex, jnp.int32), newly)
         return newly, nidx, fc
 
-    newly, fi, fc = jax.lax.cond(take_spray, sparse, dense, None)
+    branch = jnp.where(
+        fvalid & (degsum <= TINY_BUDGET) & (fcount <= TINY_K), 0,
+        jnp.where(fvalid & (degsum <= SPRAY_BUDGET), 1, 2))
+    newly, fi, fc = jax.lax.switch(
+        branch, [spray_tier(TINY_BUDGET, TINY_K),
+                 spray_tier(SPRAY_BUDGET, K), dense], None)
     return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fc <= K)
 
 

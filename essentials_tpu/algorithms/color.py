@@ -33,8 +33,9 @@ from essentials_tpu.ops.sparse_advance import (
     spray_enabled, compact_frontier, frontier_out_degree, spray_candidates,
     SPRAY_BUDGET, SPRAY_K)
 
-# independent priority waves per sweep (round count divides by ~WAVES)
-WAVES = 4
+# independent priority waves per sweep (round count divides by ~WAVES;
+# each extra wave costs one fused minmax scan + two shared-route payloads)
+WAVES = 8
 IMAX = np.iinfo(np.int32).max
 
 

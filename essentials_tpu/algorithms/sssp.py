@@ -21,8 +21,9 @@ from essentials_tpu.framework.enactor import enact, default_converged, EnactResu
 from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
-    sparse_enabled, compact_frontier, next_frontier_idx, _neighborhoods_idx,
-    frontier_idx_ok, k_for)
+    spray_enabled, spray_k, SPRAY_BUDGET, TINY_BUDGET, TINY_K,
+    frontier_out_degree, frontier_degree_sum, spray_relax_min,
+    compact_frontier)
 
 
 class SsspState(NamedTuple):
@@ -46,20 +47,20 @@ def init(g: Graph, source) -> SsspState:
     vp = g.n_vertices_padded
     dist = jnp.full(vp, jnp.inf, jnp.float32).at[source].set(0.0)
     pred = jnp.full(vp, -1, jnp.int32)
-    fidx = jnp.full(k_for(g), g.pad_vertex, jnp.int32).at[0].set(source)
+    fidx = jnp.full(spray_k(g), g.pad_vertex, jnp.int32).at[0].set(source)
     return SsspState(dist, pred,
                      frontier_from_indices(g, jnp.asarray([source])),
-                     fidx, jnp.int32(1),
-                     frontier_idx_ok(g, fidx, jnp.int32(1)))
+                     fidx, jnp.int32(1), jnp.asarray(True))
 
 
 def step(g: Graph, state: SsspState, it) -> SsspState:
-    """One relaxation round. Work-adaptive like bfs.step: small frontiers
-    relax K*dmax candidate edges with gathers/scatters (3-way lax.switch),
+    """One relaxation round. Work-adaptive like bfs.step (3-way lax.switch
+    on the frontier's total out-degree): small frontiers relax exactly
+    their out-edges via the budgeted spray path (degree-skew tolerant),
     large frontiers run the dense segment engine (two MIN passes: distance
     + smallest-id predecessor)."""
     dist, pred, frontier, fidx, fcount, fvalid = state
-    K = k_for(g)
+    K = spray_k(g)
     vp = g.n_vertices_padded
     imax = jnp.iinfo(jnp.int32).max
 
@@ -80,25 +81,22 @@ def step(g: Graph, state: SsspState, it) -> SsspState:
                             with_frontier=False)
         return cand, cand_pred
 
-    if not sparse_enabled(g):
+    if not spray_enabled(g):
         cand, cand_pred = dense_relax(frontier)
         fi, fc, fv = fidx, jnp.int32(0), jnp.asarray(False)
     else:
-        def sparse(_):
-            e, nb, valid = _neighborhoods_idx(g, fidx)
-            src_d = dist[fidx]
-            cand_e = jnp.where(valid, src_d[:, None] + g.values[e], jnp.inf)
-            cand = jnp.full(vp, jnp.inf, dist.dtype).at[nb].min(
-                cand_e, mode="drop")
-            achieves = valid & (cand_e == cand[nb])
-            src_ids = jnp.broadcast_to(fidx[:, None], nb.shape)
-            cand_pred = jnp.full(vp, imax, jnp.int32).at[nb].min(
-                jnp.where(achieves, src_ids.astype(jnp.int32), imax),
-                mode="drop")
-            improved_nb = valid & (cand[nb] < dist[nb])
-            nidx, ncount = next_frontier_idx(nb, improved_nb, K,
-                                             g.pad_vertex)
-            return cand, cand_pred, nidx, ncount
+        degsum = frontier_degree_sum(g, frontier)
+
+        def spray_tier(budget, k):
+            def go(_):
+                offs, deg = frontier_out_degree(g, fidx[:k])
+                cand, cand_pred, nidx, nc = spray_relax_min(
+                    g, fidx[:k], offs, deg, dist, budget, k)
+                if k < K:
+                    nidx = jnp.concatenate(
+                        [nidx, jnp.full(K - k, g.pad_vertex, jnp.int32)])
+                return cand, cand_pred, nidx, nc
+            return go
 
         def dense(_):
             cand, cand_pred = dense_relax(frontier)
@@ -110,8 +108,13 @@ def step(g: Graph, state: SsspState, it) -> SsspState:
                 lambda m: jnp.full(K, g.pad_vertex, jnp.int32), nf)
             return cand, cand_pred, nidx, fc
 
-        cand, cand_pred, fi, fc = jax.lax.cond(fvalid, sparse, dense, None)
-        fv = (fc <= K) & frontier_idx_ok(g, fi, fc)
+        branch = jnp.where(
+            fvalid & (degsum <= TINY_BUDGET) & (fcount <= TINY_K), 0,
+            jnp.where(fvalid & (degsum <= SPRAY_BUDGET), 1, 2))
+        cand, cand_pred, fi, fc = jax.lax.switch(
+            branch, [spray_tier(TINY_BUDGET, TINY_K),
+                     spray_tier(SPRAY_BUDGET, K), dense], None)
+        fv = fc <= K
 
     improved = cand < dist
     new_dist = jnp.where(improved, cand, dist)

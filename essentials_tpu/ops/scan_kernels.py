@@ -148,6 +148,112 @@ def _scan_kernel(op_name, segmented, x_ref, *rest):
         carry_v[0] = op(bv, cv)
 
 
+def _minmax_scan_kernel(x_ref, f_ref, a_ref, omax_ref, omin_ref,
+                        carry_max, carry_min, carry_f):
+    """Segmented inclusive MAX and MIN over ACTIVE elements of one block
+    in a single pass (shared loads, shared flag algebra — ~30% less HBM
+    traffic and half the dispatches vs two separately-masked scans)."""
+    imax = jnp.iinfo(jnp.int32).max
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_max[0] = jnp.int32(-imax - 1)
+        carry_min[0] = jnp.int32(imax)
+        carry_f[0] = jnp.zeros((), jnp.int32)
+
+    v = x_ref[:, :]
+    f = f_ref[:, :].astype(jnp.int32)
+    act = a_ref[:, :] != 0
+    zero = jnp.zeros((), jnp.int32)
+    vmax = jnp.where(act, v, jnp.int32(-imax - 1))
+    vmin = jnp.where(act, v, jnp.int32(imax))
+    rows = v.shape[0]
+    k = 1
+    while k < LANES:
+        smax = _shift_lanes(vmax, k, jnp.int32(-imax - 1))
+        smin = _shift_lanes(vmin, k, jnp.int32(imax))
+        sf = _shift_lanes(f, k, zero)
+        vmax = jnp.where(f > 0, vmax, jnp.maximum(smax, vmax))
+        vmin = jnp.where(f > 0, vmin, jnp.minimum(smin, vmin))
+        f = f | sf
+        k *= 2
+    rmax = vmax[:, LANES - 1:LANES]
+    rmin = vmin[:, LANES - 1:LANES]
+    rf = f[:, LANES - 1:LANES]
+    pmax = _shift_rows(rmax, 1, jnp.int32(-imax - 1))
+    pmin = _shift_rows(rmin, 1, jnp.int32(imax))
+    pf = _shift_rows(rf, 1, zero)
+    k = 1
+    while k < rows:
+        smax = _shift_rows(pmax, k, jnp.int32(-imax - 1))
+        smin = _shift_rows(pmin, k, jnp.int32(imax))
+        sf = _shift_rows(pf, k, zero)
+        pmax = jnp.where(pf > 0, pmax, jnp.maximum(smax, pmax))
+        pmin = jnp.where(pf > 0, pmin, jnp.minimum(smin, pmin))
+        pf = pf | sf
+        k *= 2
+    out_max = jnp.where(f > 0, vmax, jnp.maximum(pmax, vmax))
+    out_min = jnp.where(f > 0, vmin, jnp.minimum(pmin, vmin))
+    out_f = f | pf
+    # apply the cross-block carry
+    cmax, cmin, cf = carry_max[0], carry_min[0], carry_f[0]
+    omax_ref[:, :] = jnp.where(out_f > 0, out_max,
+                               jnp.maximum(cmax, out_max))
+    omin_ref[:, :] = jnp.where(out_f > 0, out_min,
+                               jnp.minimum(cmin, out_min))
+    bmax = jnp.where(rf[-1:] > 0, rmax[-1:],
+                     jnp.maximum(pmax[-1:], rmax[-1:]))[0, 0]
+    bmin = jnp.where(rf[-1:] > 0, rmin[-1:],
+                     jnp.minimum(pmin[-1:], rmin[-1:]))[0, 0]
+    bf = (rf[-1:] | pf[-1:])[0, 0]
+    carry_max[0] = jnp.where(bf > 0, bmax, jnp.maximum(cmax, bmax))
+    carry_min[0] = jnp.where(bf > 0, bmin, jnp.minimum(cmin, bmin))
+    carry_f[0] = bf | cf
+
+
+@jax.jit
+def segmented_minmax_1d(x: jax.Array, flags: jax.Array, active: jax.Array):
+    """(inclusive segmented MAX, inclusive segmented MIN) over active
+    elements of an int32 array in one fused pass."""
+    n = x.shape[0]
+    np_, brows, grid = _pad_rows(n)
+    xp = jnp.pad(x, (0, np_ - n)) if np_ != n else x
+    fp = flags.astype(jnp.int8).at[0].set(1)
+    ap = active.astype(jnp.int8)
+    if np_ != n:
+        fp = jnp.pad(fp, (0, np_ - n), constant_values=1)
+        ap = jnp.pad(ap, (0, np_ - n))
+    x2 = xp.reshape(-1, LANES)
+    f2 = fp.reshape(-1, LANES)
+    a2 = ap.reshape(-1, LANES)
+    spec = pl.BlockSpec((brows, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    smax, smin = pl.pallas_call(
+        _minmax_scan_kernel,
+        grid=(grid,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct(x2.shape, jnp.int32),
+                   jax.ShapeDtypeStruct(x2.shape, jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=_INTERPRET,
+    )(x2, f2, a2)
+    return smax.reshape(-1)[:n], smin.reshape(-1)[:n]
+
+
+def segmented_minmax(x: jax.Array, flags: jax.Array, active: jax.Array):
+    """Fused per-segment (MAX, MIN) inclusive scans over active elements;
+    Pallas on TPU, two masked segmented scans elsewhere."""
+    x = jnp.asarray(x, jnp.int32)
+    if jax.default_backend() == "tpu" and x.shape[0] >= LANES:
+        return segmented_minmax_1d(x, flags, active)
+    imax = jnp.iinfo(jnp.int32).max
+    return (segmented_scan(jnp.where(active, x, -imax - 1), flags, "max"),
+            segmented_scan(jnp.where(active, x, imax), flags, "min"))
+
+
 def _pad_rows(n):
     rows = pl.cdiv(n, LANES)
     brows = min(_ROWS, rows)

@@ -360,16 +360,17 @@ def combine_minmax_multi(edge_vals_list, active: jax.Array,
     ...] with -2^31 / 2^31-1 identities at empty/inactive segments.
     Powers multi-wave coloring (m independent sets per sweep)."""
     from essentials_tpu.ops.permute import apply_plan_multi
+    from essentials_tpu.ops.scan_kernels import segmented_minmax
     n_seg = route.n_seg
     rs = route.run_start
     imax = jnp.iinfo(jnp.int32).max
     carriers = []
     for v in edge_vals_list:
-        v = v.astype(jnp.int32)
-        for opname, ident in (("max", -imax - 1), ("min", imax)):
-            sv = _segscan(jnp.where(active, v, ident), seg_flags, opname)
-            pad = jnp.full(1, ident, jnp.int32)
-            carriers.append(jnp.concatenate([pad, sv]))
+        smax, smin = segmented_minmax(v, seg_flags, active)
+        carriers.append(jnp.concatenate(
+            [jnp.full(1, -imax - 1, jnp.int32), smax]))
+        carriers.append(jnp.concatenate(
+            [jnp.full(1, imax, jnp.int32), smin]))
     routed = apply_plan_multi(tuple(carriers), route.inv_plan,
                               n_valid=n_seg + 1)
     outs = []

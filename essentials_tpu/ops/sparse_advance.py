@@ -151,6 +151,18 @@ def next_frontier_idx(nb: jax.Array, keep: jax.Array, k: int, fill: int):
 
 SPRAY_BUDGET = 1 << 15        # candidate edge slots (the 64K cliff is real)
 SPRAY_K = 1 << 14             # index-list capacity
+# tiny tier: near-empty frontiers (head/tail BFS levels) pay ~5x less for
+# the fixed gather/sort costs that scale with the budget, not the frontier
+TINY_BUDGET = 1 << 12
+TINY_K = 1 << 11
+
+
+def frontier_degree_sum(g: Graph, frontier: jax.Array) -> jax.Array:
+    """Total out-degree of a boolmap frontier — the spray-budget gate,
+    computed WITHOUT the index list (one [Vp] elementwise + reduce; the
+    per-index gathers happen only inside the spray branch)."""
+    deg = g.row_offsets[1:] - g.row_offsets[:-1]
+    return jnp.sum(jnp.where(frontier, deg, 0).astype(jnp.int32))
 
 
 def spray_enabled(g: Graph) -> bool:
@@ -225,6 +237,38 @@ def spray_reach(g: Graph, idx: jax.Array, offs: jax.Array, deg: jax.Array,
     newly = jnp.zeros(g.n_vertices_padded, jnp.bool_).at[uniq].set(
         True, mode="drop")
     return newly, nidx, ncount
+
+
+def spray_relax_min(g: Graph, idx: jax.Array, offs: jax.Array,
+                    deg: jax.Array, dist: jax.Array, budget: int, k: int):
+    """SSSP relaxation over the sprayed out-edges (budget-gated, no degree
+    cap). Returns (cand f32[Vp] — MIN over frontier in-edges of
+    dist[src]+w, +inf elsewhere; pred int32[Vp] — smallest source id
+    achieving cand; nidx int32[k] — first-k distinct improved dsts;
+    ncount). Deterministic tie-breaks match the dense engine."""
+    e, nb, _, valid = spray_candidates(g, idx, offs, deg, budget)
+    # dist[src] per candidate: per-segment-constant expansion of the
+    # frontier's distances (bitcast telescoping — exact for f32)
+    pfx = jnp.cumsum(deg) - deg
+    src_d = jnp.where(idx == g.pad_vertex, 0.0, dist[idx])
+    di = jax.lax.bitcast_convert_type(src_d, jnp.int32)
+    dd = jnp.diff(di, prepend=jnp.zeros(1, jnp.int32))
+    z = jnp.zeros(budget, jnp.int32).at[pfx].add(dd, mode="drop")
+    d_e = jax.lax.bitcast_convert_type(jnp.cumsum(z), jnp.float32)
+    cand_e = jnp.where(valid, d_e + g.values[e], jnp.inf)
+    vp = g.n_vertices_padded
+    cand = jnp.full(vp, jnp.inf, dist.dtype).at[nb].min(cand_e, mode="drop")
+    achieves = valid & (cand_e == cand[nb])
+    imax = jnp.iinfo(jnp.int32).max
+    src_seg = jnp.where(idx == g.pad_vertex, 0, idx)
+    ds = jnp.diff(src_seg, prepend=jnp.zeros(1, jnp.int32))
+    zs = jnp.zeros(budget, jnp.int32).at[pfx].add(ds, mode="drop")
+    src_e = jnp.cumsum(zs)
+    pred = jnp.full(vp, imax, jnp.int32).at[nb].min(
+        jnp.where(achieves, src_e, imax), mode="drop")
+    improved_nb = valid & (cand_e <= cand[nb]) & (cand[nb] < dist[nb])
+    _, nidx, ncount = spray_dedup(nb, improved_nb, k, g.pad_vertex)
+    return cand, pred, nidx, ncount
 
 
 def sparse_reach(g: Graph, frontier: jax.Array, k: int = DEFAULT_K

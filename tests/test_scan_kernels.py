@@ -66,3 +66,19 @@ def test_wrappers_cpu_fallback():
     np.testing.assert_array_equal(np.asarray(got),
                                   _np_segscan(np.arange(1000, dtype=np.int32),
                                               np.asarray(flags), "min"))
+
+
+def test_segmented_minmax_matches_separate():
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    n = 5000
+    x = jnp.asarray(rng.integers(-1000, 1000, n).astype(np.int32))
+    flags = jnp.asarray(rng.random(n) < 0.05)
+    active = jnp.asarray(rng.random(n) < 0.7)
+    smax, smin = sk.segmented_minmax_1d(x, flags, active)  # kernel path
+    imax = np.iinfo(np.int32).max
+    ref_max = sk.segmented_scan(jnp.where(active, x, -imax - 1), flags, "max")
+    ref_min = sk.segmented_scan(jnp.where(active, x, imax), flags, "min")
+    assert np.array_equal(np.asarray(smax), np.asarray(ref_max))
+    assert np.array_equal(np.asarray(smin), np.asarray(ref_min))
