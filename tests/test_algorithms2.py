@@ -137,3 +137,24 @@ def test_mst_routed_engine():
     res = mst.run(g, warmup=False)
     ref = mst.cpu_reference(csr)
     assert abs(res.total_weight - ref) < 1e-3 * max(abs(ref), 1.0)
+
+
+def test_spgemm_plan_reuse_across_values():
+    """The symbolic plan is value-independent: new values, same structure."""
+    from essentials_tpu.io import generate
+    rng = np.random.default_rng(7)
+    coo_a = generate.uniform_random(40, 4, seed=9, undirected=False)
+    coo_b = generate.uniform_random(40, 4, seed=10, undirected=False)
+    a, b = Csr.from_coo(coo_a), Csr.from_coo(coo_b)
+    plan = spgemm.make_plan(a, b)
+    r1 = spgemm.run(a, b, warmup=False, plan=plan)
+    a2 = Csr(a.n_rows, a.n_cols, a.row_offsets, a.col_indices,
+             rng.random(a.nnz).astype(np.float32))
+    b2 = Csr(b.n_rows, b.n_cols, b.row_offsets, b.col_indices,
+             rng.random(b.nnz).astype(np.float32))
+    r2 = spgemm.run(a2, b2, warmup=False, plan=plan)
+    ref2 = spgemm.cpu_reference(a2, b2)
+    np.testing.assert_array_equal(r2.c.row_offsets, ref2.row_offsets)
+    np.testing.assert_array_equal(r2.c.col_indices, ref2.col_indices)
+    np.testing.assert_allclose(r2.c.values, ref2.values, rtol=1e-4)
+    assert not np.allclose(r1.c.values, r2.c.values)
