@@ -1,17 +1,20 @@
 """Distributed supersteps: shard_map + XLA collectives over the mesh.
 
 The per-superstep recipe (BASELINE.json north star):
-  1. all_gather the [Vs]-sharded frontier/value vector over the mesh axis
-     (ICI) -> full [Vtot] replica per device;
-  2. local gather-free expansion of the gathered vector along the device's
-     global-src-sorted edge block (telescoping cumsum — same engine as
+  1. exchange the sharded frontier/value vector over the mesh axis (ICI):
+     either `all_gather` (full [Vtot] replica) or — when the partitioner
+     chose boundary mode — gather each owner's STATIC requested-vertex sets
+     and `all_to_all` exactly those values ([P, Smax] per device; comm
+     volume P*Smax instead of Vtot — DistGraph.comm_values_per_step);
+  2. local gather-free expansion of the exchanged vector along the device's
+     source-sorted edge block (telescoping cumsum — same engine as
      single-chip, ops/segment.py);
   3. per-device Beneš route into local-dst order + offset-based combine;
   4. psum scalar for convergence.
 Everything lives inside one jitted shard_map while_loop: no host round-trips.
 
-Distributed BFS and PageRank are the reference patterns; any advance-based
-algorithm ports by swapping the expansion/combine pair.
+Distributed BFS, SSSP and PageRank are the reference patterns; any
+advance-based algorithm ports by swapping the expansion/combine pair.
 """
 
 from __future__ import annotations
@@ -35,13 +38,45 @@ def _local(tree):
 
 
 def _spread_local(x_full, soff, route, doff, es, weight=None, use_pallas=False):
-    """Common local step: expand gathered [Vtot] values along the local
-    src-sorted edge axis, optionally scale by edge weight, route to local
-    dst order. Returns dst-ordered per-edge values [Es]."""
+    """Common local step: expand exchanged values along the local
+    source-sorted edge axis, optionally scale by edge weight, route to
+    local dst order. Returns dst-ordered per-edge values [Es]."""
     fe = expand_vertex_to_edges(x_full, soff, es)
     if weight is not None:
         fe = fe * weight
     return apply_plan(fe, route, use_pallas=use_pallas)
+
+
+def _soff(dg: DistGraph):
+    """Expansion offsets for the exchanged source vector (mode-dependent)."""
+    return dg.csrc_offsets if dg.boundary_size else dg.src_offsets
+
+
+def _send(dg: DistGraph):
+    """send_idx (boundary mode) or a tiny dummy that rides the same specs."""
+    if dg.boundary_size:
+        return dg.send_idx
+    import jax.numpy as _jnp
+    return _jnp.zeros((dg.n_devices, dg.n_devices, 8), _jnp.int32)
+
+
+def _exchanger(dg: DistGraph, send_idx_l):
+    """Per-superstep value exchange: vals [Vs] -> source vector + its
+    expansion offsets length contract. Static mode pick (boundary_size is
+    pytree metadata)."""
+    if dg.boundary_size:
+        def exchange(vals):
+            send = vals[send_idx_l]                      # [P, Smax]
+            recv = jax.lax.all_to_all(send, AXIS, split_axis=0,
+                                      concat_axis=0, tiled=True)
+            # pad slot for the pad-edge segment (csrc_offsets has one)
+            pad = jnp.zeros(1, vals.dtype)
+            return jnp.concatenate([recv.reshape(-1), pad])
+        return exchange
+
+    def exchange(vals):
+        return jax.lax.all_gather(vals, AXIS, tiled=True)
+    return exchange
 
 
 def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
@@ -56,11 +91,12 @@ def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
-                       P(AXIS, None), P(AXIS), P(AXIS)),
+                       P(AXIS, None), P(AXIS, None, None), P(AXIS), P(AXIS)),
              out_specs=P(AXIS), check_vma=False)
-    def run(soff, doff, route, vvalid, dist0, frontier0):
+    def run(soff, doff, route, vvalid, send, dist0, frontier0):
         soff, doff, vvalid = soff[0], doff[0], vvalid[0]
         route_l = _local(route)
+        exchange = _exchanger(dg, send[0])
 
         def cond(carry):
             dist, frontier, it = carry
@@ -70,8 +106,8 @@ def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
 
         def body(carry):
             dist, frontier, it = carry
-            f_full = jax.lax.all_gather(frontier, AXIS, tiled=True)  # [Vtot]
-            fe = _spread_local(f_full.astype(jnp.int8), soff, route_l, doff,
+            f_src = exchange(frontier.astype(jnp.int8))
+            fe = _spread_local(f_src, soff, route_l, doff,
                                es, use_pallas=use_pallas)
             reached = combine_by_offsets(fe != 0, doff, Combine.OR)[:vs]
             newly = reached & (dist == unreached) & vvalid
@@ -83,8 +119,8 @@ def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
 
     dist0 = jnp.full(vtot, unreached, jnp.int32).at[source].set(0)
     frontier0 = jnp.zeros(vtot, jnp.bool_).at[source].set(True)
-    return run(dg.src_offsets, dg.dst_offsets, dg.route, dg.vertex_valid,
-               dist0, frontier0)
+    return run(_soff(dg), dg.dst_offsets, dg.route, dg.vertex_valid,
+               _send(dg), dist0, frontier0)
 
 
 def dist_sssp(dg: DistGraph, mesh: Mesh, source: int, *,
@@ -102,11 +138,12 @@ def dist_sssp(dg: DistGraph, mesh: Mesh, source: int, *,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
-                       P(AXIS, None), P(AXIS)),
+                       P(AXIS, None), P(AXIS, None, None), P(AXIS)),
              out_specs=P(AXIS), check_vma=False)
-    def run(soff, doff, route, w, vvalid, dist0):
+    def run(soff, doff, route, w, vvalid, send, dist0):
         soff, doff, vvalid = soff[0], doff[0], vvalid[0]
         route_l = _local(route)
+        exchange = _exchanger(dg, send[0])
         # static per-device data: route the weights to dst order once
         we = apply_plan(w[0], route_l, use_pallas=use_pallas)
 
@@ -118,8 +155,8 @@ def dist_sssp(dg: DistGraph, mesh: Mesh, source: int, *,
 
         def body(carry):
             dist, _, it = carry
-            d_full = jax.lax.all_gather(dist, AXIS, tiled=True)  # [Vtot]
-            de = _spread_local(d_full, soff, route_l, doff, es,
+            d_src = exchange(dist)
+            de = _spread_local(d_src, soff, route_l, doff, es,
                                use_pallas=use_pallas)
             cand = combine_by_offsets(
                 jnp.where(jnp.isfinite(de), de + we, jnp.inf), doff,
@@ -134,8 +171,8 @@ def dist_sssp(dg: DistGraph, mesh: Mesh, source: int, *,
         return dist
 
     dist0 = jnp.full(vtot, jnp.inf, jnp.float32).at[source].set(0.0)
-    return run(dg.src_offsets, dg.dst_offsets, dg.route, dg.weights,
-               dg.vertex_valid, dist0)
+    return run(_soff(dg), dg.dst_offsets, dg.route, dg.weights,
+               dg.vertex_valid, _send(dg), dist0)
 
 
 def _dst_seg_flags(doff, es):
@@ -157,12 +194,13 @@ def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS),
-                       P(AXIS, None), P(AXIS, None), P(AXIS)),
+                       P(AXIS, None), P(AXIS, None), P(AXIS, None, None),
+                       P(AXIS)),
              out_specs=P(AXIS), check_vma=False)
-    def run(soff, doff, route, vvalid, odeg, p0):
+    def run(soff, doff, route, vvalid, odeg, send, p0):
         soff, doff, vvalid, odeg = soff[0], doff[0], vvalid[0], odeg[0]
         route_l = _local(route)
-        odeg_full = jax.lax.all_gather(odeg, AXIS, tiled=True)
+        exchange = _exchanger(dg, send[0])
 
         def cond(carry):
             p, err, it = carry
@@ -170,9 +208,10 @@ def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
 
         def body(carry):
             p, _, it = carry
-            p_full = jax.lax.all_gather(p, AXIS, tiled=True)
-            contrib_full = jnp.where(odeg_full > 0, p_full / odeg_full, 0.0)
-            msg = _spread_local(contrib_full, soff, route_l, doff, es,
+            # contributions computed owner-side, then exchanged
+            contrib = jnp.where(odeg > 0, p / odeg, 0.0)
+            c_src = exchange(contrib)
+            msg = _spread_local(c_src, soff, route_l, doff, es,
                                 use_pallas=use_pallas)
             pulled = combine_by_offsets(msg, doff, Combine.SUM)[:vs]
             dangling_local = jnp.sum(jnp.where(vvalid & (odeg == 0), p, 0.0))
@@ -186,5 +225,5 @@ def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
         return p
 
     p0 = jnp.where(jnp.arange(vtot) < nv, 1.0 / nv, 0.0).astype(jnp.float32)
-    return run(dg.src_offsets, dg.dst_offsets, dg.route, dg.vertex_valid,
-               dg.out_degrees, p0)
+    return run(_soff(dg), dg.dst_offsets, dg.route, dg.vertex_valid,
+               dg.out_degrees, _send(dg), p0)

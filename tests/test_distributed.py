@@ -95,3 +95,34 @@ def test_dist_sssp_weighted_rmat(mesh8):
     finite = np.isfinite(ref)
     assert np.array_equal(np.isfinite(d), finite)
     assert np.allclose(d[finite], ref[finite], rtol=1e-5, atol=1e-5)
+
+
+def test_boundary_exchange_bfs_pr_sssp(chesapeake_csr, mesh8):
+    """Boundary (all_to_all) mode matches all_gather mode on every algo."""
+    from essentials_tpu.parallel.distributed import dist_sssp
+    from essentials_tpu.algorithms import sssp
+    dgb = partition_graph(chesapeake_csr, 8, exchange="boundary")
+    assert dgb.boundary_size > 0
+    assert dgb.comm_values_per_step <= dgb.n_vertices_global
+    n = chesapeake_csr.n_rows
+    d = np.asarray(dist_bfs(dgb, mesh8, 0))[:n]
+    ref = bfs.cpu_reference(chesapeake_csr, 0)
+    assert np.array_equal(d, ref)
+    s = np.asarray(dist_sssp(dgb, mesh8, 0))[:n]
+    sref = sssp.cpu_reference(chesapeake_csr, 0)
+    assert np.allclose(s, sref, rtol=1e-5, atol=1e-5)
+    p = np.asarray(dist_pagerank(dgb, mesh8))[:n]
+    assert abs(p.sum() - 1.0) < 1e-3
+
+
+def test_boundary_exchange_rmat(mesh8):
+    from essentials_tpu.parallel.distributed import dist_sssp
+    from essentials_tpu.algorithms import sssp
+    coo = generate.rmat(8, 8, seed=12, undirected=True, weighted=True)
+    csr = Csr.from_coo(coo)
+    dgb = partition_graph(csr, 8, exchange="boundary")
+    s = np.asarray(dist_sssp(dgb, mesh8, 1))[:csr.n_rows]
+    ref = sssp.cpu_reference(csr, 1)
+    finite = np.isfinite(ref)
+    assert np.array_equal(np.isfinite(s), finite)
+    assert np.allclose(s[finite], ref[finite], rtol=1e-5, atol=1e-5)
