@@ -48,6 +48,8 @@ def bench_graph(path: str, runs: int) -> list[dict]:
             out.append({"algorithm": name, "dataset": ds, "error": str(e)})
 
     record("bfs", A.bfs.run, g, source)
+    if A.bfs.fused_supported(g):
+        record("bfs_fused", A.bfs.run, g, source, variant="fused")
     record("sssp", A.sssp.run, g, source)
     record("pr", A.pr.run, g)
     record("ppr", A.ppr.run, g, source)

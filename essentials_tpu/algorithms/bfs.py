@@ -12,6 +12,7 @@ reference's per-step atomic races — deterministic smallest-id predecessors.
 from __future__ import annotations
 
 from typing import NamedTuple
+from functools import partial
 
 import numpy as np
 import jax
@@ -112,6 +113,34 @@ def step(g: Graph, state: BfsState, it) -> BfsState:
     return BfsState(jnp.where(newly, it + 1, dist), newly, fi, fc, fc <= K)
 
 
+def fused_supported(g: Graph) -> bool:
+    """The edge-axis fused superstep needs the symmetric layout (so the
+    vertex<->edge moves cancel across levels) and the router plans."""
+    return bool(g.symmetric_layout and g.route_fwd is not None
+                and g.off_route_csr is not None)
+
+
+def run_fused_levels(g: Graph, source, max_it):
+    """Whole BFS on the edge axis (ops/fused_bfs.py): 5 passes per level,
+    no expand/collapse inside the loop. Returns (lev_exp, iterations)."""
+    from essentials_tpu.ops import fused_bfs as FB
+
+    lev0 = FB.init_lev_exp(g, source)
+
+    def cond(c):
+        lev, go, it = c
+        return (it < max_it) & (go != 0)
+
+    def body(c):
+        lev, go, it = c
+        lev2, anyb = FB.fused_superstep(g, lev, it)
+        return lev2, anyb[0, 0], it + 1
+
+    lev, _, it = jax.lax.while_loop(
+        cond, body, (lev0, jnp.int32(1), jnp.int32(0)))
+    return lev, it
+
+
 def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:
     """pred[v] = smallest-id in-neighbor one BFS level up (-1 at source /
     unreached). One full-graph advance (MIN)."""
@@ -126,18 +155,40 @@ def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:
     return jnp.where(valid, cand, -1)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _run_fused_compiled(g, source, max_it):
+    from essentials_tpu.ops import fused_bfs as FB
+    lev, it = run_fused_levels(g, source, max_it)
+    return FB.collapse_lev_exp(g, lev, source), it
+
+
 def run(g: Graph, source: int, *, max_iterations: int | None = None,
-        compute_predecessors: bool = True, warmup: bool = True) -> BfsResult:
+        compute_predecessors: bool = True, warmup: bool = True,
+        variant: str = "adaptive") -> BfsResult:
+    """variant: 'adaptive' (3-tier spray/dense hybrid) or 'fused'
+    (edge-axis dense supersteps; symmetric graphs with router plans)."""
     max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
-    res: EnactResult = enact(step, default_converged, g, init(g, source),
-                             max_iterations=max_it, warmup=warmup)
-    st: BfsState = res.state
+    if variant == "fused" and fused_supported(g):
+        import time as _time
+        if warmup:
+            int(_run_fused_compiled(g, source, max_it)[1])
+        t0 = _time.perf_counter()
+        dist, it = _run_fused_compiled(g, source, max_it)
+        it_val = int(it)
+        jax.block_until_ready(dist)
+        elapsed = (_time.perf_counter() - t0) * 1e3
+        res = EnactResult(state=None, iterations=it_val, elapsed_ms=elapsed)
+        distances = dist
+    else:
+        res = enact(step, default_converged, g, init(g, source),
+                    max_iterations=max_it, warmup=warmup)
+        distances = res.state.distances
     v = g.n_vertices
     if compute_predecessors:
-        pred = predecessors_from_distances(g, st.distances)[:v]
+        pred = predecessors_from_distances(g, distances)[:v]
     else:
         pred = jnp.full(v, -1, jnp.int32)
-    return BfsResult(st.distances[:v], pred, res.iterations, res.elapsed_ms)
+    return BfsResult(distances[:v], pred, res.iterations, res.elapsed_ms)
 
 
 def cpu_reference(csr, source: int) -> np.ndarray:

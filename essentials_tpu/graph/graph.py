@@ -62,7 +62,8 @@ class GraphProperties:
                       "route_fwd", "route_bwd",
                       "off_route_csr", "off_route_csc"],
          meta_fields=["n_vertices", "n_edges", "n_vertices_padded",
-                      "n_edges_padded", "properties", "max_degree"])
+                      "n_edges_padded", "properties", "max_degree",
+                      "symmetric_layout"])
 @dataclass(frozen=True)
 class Graph:
     # --- static metadata (pytree aux) ---
@@ -97,6 +98,8 @@ class Graph:
 
     # --- static host-side analytics (pytree aux) ---
     max_degree: int = 0                # max out-degree over real vertices
+    symmetric_layout: bool = False     # csc_offsets == row_offsets (the
+    #                                    fused edge-axis superstep's gate)
 
     # ------------------------------------------------------------------ #
     @property
@@ -246,6 +249,8 @@ def build_graph(csr: Csr | Coo, *, directed: bool = True, weighted: bool = True,
         n_vertices=v, n_edges=e, n_vertices_padded=vp, n_edges_padded=ep,
         properties=GraphProperties(directed=directed, weighted=weighted),
         max_degree=int(np.diff(csr.row_offsets).max()) if e else 0,
+        symmetric_layout=bool(
+            build_csc and np.array_equal(row_offsets, kw["csc_offsets"])),
         row_offsets=row_offsets,
         col_indices=col,
         src_indices=src,

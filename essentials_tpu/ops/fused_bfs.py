@@ -1,0 +1,191 @@
+"""Fused edge-axis BFS superstep (symmetric graphs).
+
+The standard dense superstep (ops/advance.py:advance_count) moves the
+frontier vertex->edges->vertex every level: expand over the CSR offsets
+route, route CSR->CSC, combine back over the CSC offsets route — a
+7-kernel chain. For SYMMETRIC graphs (csc_offsets == row_offsets) the
+vertex<->edge moves CANCEL across supersteps: an array indexed by
+"segment of position" means the same thing on both axes, so BFS state can
+live directly on the edge axis as ``lev_exp[p] = level[segment(p)]``:
+
+  y = (lev_exp == it)            elementwise          [Ep]
+  z = route_fwd(y)               3 kernels            z[q] = frontier[src(q)]
+  S = segmented_sum_scan(z)      1 kernel             per-dst running count
+  lev' = suffix_fill_update(S)   1 kernel (backward)  newly -> level it+1
+
+5 passes/level instead of 7 + vertex-axis pre/post, and no expand/collapse
+inside the loop at all. The suffix kernel broadcasts each segment's total
+(its value at the segment END) to every position by scanning right-to-left
+with a descending grid, computes ``newly = (count>0) & unreached``, writes
+the level update in place, and accumulates a per-call any-newly flag.
+
+Reference parity: this replaces the hot loop of bfs.hxx:110-178 at the
+whole-superstep level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_ROWS = 1024
+_INTERPRET = False
+
+UNREACHED = np.iinfo(np.int32).max
+
+
+def _shift_lanes_left(x, k, fill):
+    """Shift left by k along lanes (pull values from higher indices)."""
+    r = pltpu.roll(x, LANES - k, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= LANES - k, fill, r)
+
+
+def _shift_rows_left(x, k, fill):
+    rows = x.shape[0]
+    r = pltpu.roll(x, rows - k, 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row >= rows - k, fill, r)
+
+
+def _suffix_fill_update_kernel(s_ref, f_ref, lev_ref, it_ref,
+                               olev_ref, oany_ref,
+                               carry_v, carry_start):
+    """One (descending-order) block: suffix-first fill of segment totals +
+    level update.
+
+    f_ref holds segment-START flags; a position's segment END is the slot
+    before the next start (end(i) = start(i+1), with the carry supplying
+    the next block's first start; the global last position is an end).
+    carry_v holds the fill value at the first position of the block to the
+    right — always defined because scanning starts at the global end.
+    """
+    rows = s_ref.shape[0]
+    zero = jnp.zeros((), jnp.int32)
+
+    @pl.when(pl.program_id(0) == 0)          # LAST physical block
+    def _():
+        carry_v[0] = zero
+        carry_start[0] = jnp.int32(1)        # global last position is an end
+        oany_ref[...] = jnp.zeros_like(oany_ref)
+
+    zero8 = jnp.zeros((), jnp.int8)
+    s = s_ref[:, :]                          # int8 0/1 (segmented OR scan)
+    start = f_ref[:, :]                      # int8 flags
+    # end(i) = start(i+1); the block's last element takes the carried bit
+    end = _shift_lanes_left(start, 1, zero8)
+    nxt_row_start = _shift_rows_left(start[:, :1], 1,
+                                     carry_start[0].astype(jnp.int8))
+    lane = jax.lax.broadcasted_iota(jnp.int32, end.shape, 1)
+    end = jnp.where(lane == LANES - 1, nxt_row_start, end)
+
+    # suffix "first" scan on int8 pairs: (v, f)[i] = nearest in-block
+    # end >= i (int8 runs ~4x the int32 VPU rate)
+    v = jnp.where(end > 0, s, zero8)
+    f = end
+    k = 1
+    while k < LANES:
+        vr = _shift_lanes_left(v, k, zero8)
+        fr = _shift_lanes_left(f, k, zero8)
+        v = jnp.where(f > 0, v, vr)
+        f = f | fr
+        k *= 2
+    rv = v[:, :1]                            # per-row whole-row suffix pair
+    rf = f[:, :1]
+    pv = _shift_rows_left(rv, 1, zero8)      # suffix over LOWER rows excl.
+    pf = _shift_rows_left(rf, 1, zero8)
+    k = 1
+    while k < rows:
+        vr = _shift_rows_left(pv, k, zero8)
+        fr = _shift_rows_left(pf, k, zero8)
+        pv = jnp.where(pf > 0, pv, vr)
+        pf = pf | fr
+        k *= 2
+    v = jnp.where(f > 0, v, pv)
+    f = f | pf
+    cv = carry_v[0].astype(jnp.int8)
+    fill = jnp.where(f > 0, v, cv)           # cross-block completion
+    carry_v[0] = jnp.where(f[0, 0] > 0, v[0, 0], cv).astype(jnp.int32)
+    carry_start[0] = start[0, 0].astype(jnp.int32)
+
+    lev = lev_ref[:, :]
+    it = it_ref[0, 0]
+    newly = (fill > 0) & (lev == UNREACHED)
+    olev_ref[:, :] = jnp.where(newly, it, lev)
+    oany_ref[...] = oany_ref[...] | jnp.any(newly).astype(jnp.int32)
+
+
+def suffix_fill_update(S: jax.Array, start_flags: jax.Array,
+                       lev: jax.Array, it) -> tuple:
+    """(new lev_exp, any_newly int32[1,1]). All inputs [Ep]."""
+    n = S.shape[0]
+    rows = pl.cdiv(n, LANES)
+    brows = min(_ROWS, rows)
+    grid = pl.cdiv(rows, brows)
+    np_ = grid * brows * LANES
+    S = S.astype(jnp.int8)
+    if np_ != n:
+        S = jnp.pad(S, (0, np_ - n))
+        start_flags = jnp.pad(start_flags.astype(jnp.int8),
+                              (0, np_ - n), constant_values=1)
+        lev = jnp.pad(lev, (0, np_ - n), constant_values=0)  # pad: reached
+    s2 = S.reshape(-1, LANES)
+    f2 = start_flags.astype(jnp.int8).reshape(-1, LANES)
+    l2 = lev.reshape(-1, LANES)
+    rev = pl.BlockSpec((brows, LANES), lambda i: (grid - 1 - i, 0),
+                       memory_space=pltpu.VMEM)
+    olev, oany = pl.pallas_call(
+        _suffix_fill_update_kernel,
+        grid=(grid,),
+        in_specs=[rev, rev, rev,
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=[rev,
+                   pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct(l2.shape, jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=_INTERPRET,
+    )(s2, f2, l2, jnp.asarray(it, jnp.int32).reshape(1, 1))
+    return olev.reshape(-1)[:n], oany
+
+
+def fused_superstep(g, lev_exp: jax.Array, it) -> tuple:
+    """One dense BFS level on the edge axis. Returns (lev_exp', any[1,1])."""
+    from essentials_tpu.ops.permute import apply_plan
+    from essentials_tpu.ops.scan_kernels import segmented_scan
+    y = (lev_exp == it).astype(jnp.int8)
+    z = apply_plan(y, g.route_fwd, n_valid=g.n_edges_padded)
+    # OR semantics: int8 segmented MAX (4x VPU rate vs an int32 SUM scan)
+    S = segmented_scan(z, g.csc_seg_flags, "max")
+    return suffix_fill_update(S, g.csc_seg_flags, lev_exp, it + 1)
+
+
+def init_lev_exp(g, source) -> jax.Array:
+    """lev_exp[p] = 0 where segment(p) == source else UNREACHED."""
+    from essentials_tpu.ops.segment import expand_vertex_to_edges_routed
+    n_seg = g.off_route_csr.n_seg
+    lev_v = jnp.full(n_seg, UNREACHED, jnp.int32).at[source].set(0)
+    return expand_vertex_to_edges_routed(lev_v, g.off_route_csr)
+
+
+def collapse_lev_exp(g, lev_exp: jax.Array, source) -> jax.Array:
+    """lev_exp -> per-vertex distances [Vp] (UNREACHED at empty segments
+    except the source itself)."""
+    from essentials_tpu.ops.permute import apply_plan
+    from essentials_tpu.ops.scan_kernels import segmented_scan
+    route = g.off_route_csr
+    n_seg = route.n_seg
+    picked = apply_plan(lev_exp, route.inv_plan, n_valid=n_seg + 1)
+    ff = segmented_scan(picked, route.run_start, "first")
+    seg_len = route.seg_len
+    lev_v = jnp.where(seg_len > 0, ff[:n_seg], UNREACHED)
+    lev_v = lev_v[:g.n_vertices_padded].at[source].min(0)
+    return lev_v

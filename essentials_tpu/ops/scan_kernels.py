@@ -286,7 +286,9 @@ def scan_1d(x: jax.Array, op: str = "add") -> jax.Array:
 @partial(jax.jit, static_argnames=("op",))
 def segmented_scan_1d(x: jax.Array, flags: jax.Array, op: str):
     """Inclusive per-segment scan; ``flags`` marks segment starts (position
-    0 always implicitly starts a segment)."""
+    0 always implicitly starts a segment). int8 carriers run at ~4x the
+    int32 VPU rate (packed sublanes) with 4x less HBM traffic — use them
+    for boolean semantics (OR == max of 0/1)."""
     n = x.shape[0]
     np_, brows, grid = _pad_rows(n)
     ident = _ident(op, x.dtype)
@@ -317,7 +319,7 @@ def cumsum(x: jax.Array) -> jax.Array:
     """Drop-in inclusive cumsum; Pallas on TPU, jnp elsewhere."""
     x = jnp.asarray(x)
     if jax.default_backend() == "tpu" and x.ndim == 1 and \
-            x.dtype in (jnp.int32, jnp.float32) and x.shape[0] >= LANES:
+            x.dtype in (jnp.int32, jnp.float32, jnp.int8) and x.shape[0] >= LANES:
         return scan_1d(x, "add")
     return jnp.cumsum(x)
 
@@ -327,7 +329,7 @@ def segmented_scan(x: jax.Array, flags: jax.Array, op: str) -> jax.Array:
     x = jnp.asarray(x)
     flags = jnp.asarray(flags)
     if jax.default_backend() == "tpu" and x.ndim == 1 and \
-            x.dtype in (jnp.int32, jnp.float32) and x.shape[0] >= LANES:
+            x.dtype in (jnp.int32, jnp.float32, jnp.int8) and x.shape[0] >= LANES:
         return segmented_scan_1d(x, flags, op)
     opf = _op_fn(op)
     flags = flags.at[0].set(True)

@@ -1,0 +1,60 @@
+"""Edge-axis fused BFS (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import essentials_tpu.ops.fused_bfs as fb
+
+fb._INTERPRET = True
+
+from essentials_tpu.algorithms import bfs  # noqa: E402
+from essentials_tpu.formats import Csr  # noqa: E402
+from essentials_tpu.graph import build_graph  # noqa: E402
+from essentials_tpu.io import generate  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def g_rmat():
+    coo = generate.rmat(10, 8, seed=4, undirected=True, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False, build_router=True)
+    return csr, g
+
+
+def test_symmetric_layout_detected(g_rmat):
+    _, g = g_rmat
+    assert g.symmetric_layout
+    assert bfs.fused_supported(g)
+
+
+def test_fused_bfs_matches_reference(g_rmat):
+    csr, g = g_rmat
+    for src in (0, 5, 100):
+        res = bfs.run(g, src, warmup=False, variant="fused")
+        ref = bfs.cpu_reference(csr, src)
+        assert np.array_equal(np.asarray(res.distances), ref), src
+
+
+def test_fused_bfs_isolated_source():
+    # isolated vertex as source: 1 round, only the source reached
+    import numpy as np
+    from essentials_tpu.formats.coo import Coo
+    coo = Coo(8, 8, np.array([1, 2, 2, 1], np.int32),
+              np.array([2, 1, 3, 3], np.int32),
+              np.ones(4, np.float32))
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False, build_router=True)
+    if not bfs.fused_supported(g):
+        pytest.skip("tiny graph: no router plans")
+    res = bfs.run(g, 0, warmup=False, variant="fused")
+    ref = bfs.cpu_reference(csr, 0)
+    assert np.array_equal(np.asarray(res.distances), ref)
+
+
+def test_fused_grid_graph():
+    coo = generate.grid_2d(24, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False, build_router=True)
+    res = bfs.run(g, 0, warmup=False, variant="fused")
+    ref = bfs.cpu_reference(csr, 0)
+    assert np.array_equal(np.asarray(res.distances), ref)
