@@ -49,10 +49,16 @@ def main():
         np.argsort(-np.diff(csr.row_offsets))[:RUNS].astype(np.int32))
     max_it = 64
 
+    use_fused = bfs.fused_supported(g)
+
     @partial(jax.jit, static_argnums=(2,))
     def replay(g, sources, R):
         def one(i, carry):
             acc, _ = carry
+            if use_fused:
+                # edge-axis fused supersteps (ops/fused_bfs.py)
+                lev, it = bfs.run_fused_levels(g, sources[i % RUNS], max_it)
+                return acc + jnp.sum(lev[:256] % 97) + it, it
             st = bfs.init(g, sources[i % RUNS])
             def cond(c):
                 return (c[1] < max_it) & jnp.any(c[0].frontier)

@@ -75,9 +75,9 @@ def _suffix_fill_update_kernel(s_ref, f_ref, lev_ref, it_ref,
         carry_start[0] = jnp.int32(1)        # global last position is an end
         oany_ref[...] = jnp.zeros_like(oany_ref)
 
-    zero8 = jnp.zeros((), jnp.int8)
-    s = s_ref[:, :]                          # int8 0/1 (segmented OR scan)
-    start = f_ref[:, :]                      # int8 flags
+    zero8 = jnp.zeros((), s_ref.dtype)
+    s = s_ref[:, :]                          # 0/1 (segmented OR scan out)
+    start = f_ref[:, :].astype(s.dtype)      # flags as the value dtype
     # end(i) = start(i+1); the block's last element takes the carried bit
     end = _shift_lanes_left(start, 1, zero8)
     nxt_row_start = _shift_rows_left(start[:, :1], 1,
@@ -111,8 +111,11 @@ def _suffix_fill_update_kernel(s_ref, f_ref, lev_ref, it_ref,
     f = f | pf
     cv = carry_v[0].astype(jnp.int8)
     fill = jnp.where(f > 0, v, cv)           # cross-block completion
-    carry_v[0] = jnp.where(f[0, 0] > 0, v[0, 0], cv).astype(jnp.int32)
-    carry_start[0] = start[0, 0].astype(jnp.int32)
+    # Mosaic extracts 32-bit scalars only: widen the corner blocks first
+    f00 = f[:1, :1].astype(jnp.int32)[0, 0]
+    v00 = v[:1, :1].astype(jnp.int32)[0, 0]
+    carry_v[0] = jnp.where(f00 > 0, v00, carry_v[0])
+    carry_start[0] = start[:1, :1].astype(jnp.int32)[0, 0]
 
     lev = lev_ref[:, :]
     it = it_ref[0, 0]
@@ -129,7 +132,7 @@ def suffix_fill_update(S: jax.Array, start_flags: jax.Array,
     brows = min(_ROWS, rows)
     grid = pl.cdiv(rows, brows)
     np_ = grid * brows * LANES
-    S = S.astype(jnp.int8)
+    S = S.astype(jnp.int32)   # i8 lane rolls unsupported by Mosaic (v5e)
     if np_ != n:
         S = jnp.pad(S, (0, np_ - n))
         start_flags = jnp.pad(start_flags.astype(jnp.int8),
@@ -157,14 +160,116 @@ def suffix_fill_update(S: jax.Array, start_flags: jax.Array,
     return olev.reshape(-1)[:n], oany
 
 
+def _k1_eq_kernel(it_ref, x_ref, i0_ref, i1_ref, o_ref):
+    """K1 with the frontier compare fused: y = (lev == it), gather c,
+    transpose, gather b (cube_router K1 semantics, P=1)."""
+    from essentials_tpu.ops.cube_router import _g2
+    x = (x_ref[0] == it_ref[0, 0]).astype(jnp.int32)      # [8, B, C]
+    x = _g2(x, i0_ref[...])
+    x = jnp.swapaxes(x, 1, 2)                             # [8, C, B]
+    x = _g2(x, i1_ref[...])
+    o_ref[0] = jnp.swapaxes(x, 0, 1)                      # [C, 8, B]
+
+
+def _k3_segor_kernel(x_ref, i_ref, f_ref, o_ref, carry_v, carry_f):
+    """K3 with a segmented-OR (max) scan fused after the final gather."""
+    from essentials_tpu.ops.cube_router import _g2
+    from essentials_tpu.ops.scan_kernels import _block_scan
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_v[0] = jnp.int32(0)
+        carry_f[0] = jnp.int32(0)
+
+    x = x_ref[0]                                          # [C, 8, B]
+    x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
+    x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
+    x = _g2(x, i_ref[...])
+    v = x.reshape(-1, LANES)                              # flat elem order
+    f = f_ref[...].reshape(-1, LANES).astype(jnp.int32)
+    sv, sf, (bv, bf) = _block_scan(v, f, jnp.maximum, jnp.int32(0), True)
+    cv, cf = carry_v[0], carry_f[0]
+    out = jnp.where(sf > 0, sv, jnp.maximum(cv, sv))
+    carry_v[0] = jnp.where(bf > 0, bv, jnp.maximum(cv, bv))
+    carry_f[0] = bf | cf
+    o_ref[0] = out.reshape(x.shape)
+
+
+def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
+    """(lev_exp == it) -> CSR->CSC route -> segmented OR, as ONE 3-kernel
+    pipeline (the compare fuses into K1, the scan into K3)."""
+    from essentials_tpu.ops.cube_router import (_plan_kparts, _MSLAB,
+                                                LANES as CL)
+    from jax.experimental.pallas import tpu as _pltpu
+
+    plan = g.route_fwd
+    L = plan.length
+    n = lev_exp.shape[0]
+
+    def bs(shp, im):
+        return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+
+    i0, i1, i6, k2_kernel, k2_idx = _plan_kparts(plan, bs)
+    M = plan.wide if plan.form == "wbc" else plan.wide * CL
+    x = lev_exp if n == L else jnp.pad(lev_exp, (0, L - n))
+    xm = x.reshape(1, M, CL, CL)
+    flags = g.csc_seg_flags.astype(jnp.int8)
+    flags = (flags if n == L else jnp.pad(flags, (0, L - n)))
+    fm = flags.reshape(M, CL, CL)
+
+    k1 = pl.pallas_call(
+        _k1_eq_kernel, grid=(M // _MSLAB, 1),
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+                  bs((1, _MSLAB, CL, CL), lambda m, p: (p, m, 0, 0)),
+                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0)),
+                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0))],
+        out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
+        interpret=_INTERPRET,
+    )(jnp.asarray(it, jnp.int32).reshape(1, 1), xm, i0, i1)
+
+    vmem = (_pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if plan.form == "tfbc" else None)
+    k2 = pl.pallas_call(
+        k2_kernel, grid=(CL, 1),
+        in_specs=[bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0))]
+        + [spec for _, spec in k2_idx],
+        out_specs=bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
+        compiler_params=vmem,
+        interpret=_INTERPRET,
+    )(k1, *[a for a, _ in k2_idx])
+
+    k3 = pl.pallas_call(
+        _k3_segor_kernel, grid=(M // _MSLAB, 1),
+        in_specs=[bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
+                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0)),
+                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0))],
+        out_specs=bs((1, _MSLAB, CL, CL), lambda m, p: (p, m, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, M, CL, CL), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=_INTERPRET,
+    )(k2, i6, fm)
+    return k3.reshape(L)[:n]
+
+
 def fused_superstep(g, lev_exp: jax.Array, it) -> tuple:
-    """One dense BFS level on the edge axis. Returns (lev_exp', any[1,1])."""
-    from essentials_tpu.ops.permute import apply_plan
-    from essentials_tpu.ops.scan_kernels import segmented_scan
-    y = (lev_exp == it).astype(jnp.int8)
-    z = apply_plan(y, g.route_fwd, n_valid=g.n_edges_padded)
-    # OR semantics: int8 segmented MAX (4x VPU rate vs an int32 SUM scan)
-    S = segmented_scan(z, g.csc_seg_flags, "max")
+    """One dense BFS level on the edge axis. Returns (lev_exp', any[1,1]).
+
+    Fast path: the eq-compare, the route, and the segmented-OR scan run as
+    ONE 3-kernel pipeline (fused_route_or below); the suffix kernel
+    completes the level. Fallback (CPU / non-cube plans): separate ops."""
+    from essentials_tpu.ops import cube_router
+    if isinstance(g.route_fwd, cube_router.CubePlan) and \
+            jax.default_backend() == "tpu" and not _INTERPRET:
+        S = fused_route_or(g, lev_exp, it)
+    else:
+        from essentials_tpu.ops.permute import apply_plan
+        from essentials_tpu.ops.scan_kernels import segmented_scan
+        y = (lev_exp == it).astype(jnp.int32)
+        z = apply_plan(y, g.route_fwd, n_valid=g.n_edges_padded)
+        S = segmented_scan(z, g.csc_seg_flags, "max")
     return suffix_fill_update(S, g.csc_seg_flags, lev_exp, it + 1)
 
 

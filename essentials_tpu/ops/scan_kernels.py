@@ -109,6 +109,9 @@ def _block_scan(v, f, op, ident, segmented):
         out_f = f | pf
         sum_v = jnp.where(rf[-1:] > 0, rv[-1:], op(pv[-1:], rv[-1:]))
         sum_f = rf[-1:] | pf[-1:]
+        # Mosaic can only extract 32-bit scalars (int8 carriers widen here)
+        if sum_v.dtype.itemsize < 4:
+            sum_v = sum_v.astype(jnp.int32)
         return out, out_f, (sum_v[0, 0], sum_f[0, 0])
     out = op(pv, v)
     return out, None, (op(pv[-1:, :], rv[-1:, :])[0, 0], None)
@@ -124,10 +127,12 @@ def _scan_kernel(op_name, segmented, x_ref, *rest):
     op = _op_fn(op_name)
     dt = x_ref.dtype
     ident = _ident(op_name, dt)
+    cdt = carry_v.dtype                      # int32 for int8 carriers
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        carry_v[0] = ident
+        carry_v[0] = ident.astype(cdt) if hasattr(ident, "astype") \
+            else jnp.asarray(ident, cdt)
         if segmented:
             carry_f[0] = jnp.zeros((), jnp.int32)
 
@@ -135,12 +140,12 @@ def _scan_kernel(op_name, segmented, x_ref, *rest):
     if segmented:
         f = f_ref[:, :].astype(jnp.int32)
         sv, sf, (bv, bf) = _block_scan(v, f, op, ident, True)
-        cv, cf = carry_v[0], carry_f[0]
-        out, _ = _pair_combine(op, sv, sf, cv, cf)
+        cv, cf = carry_v[0], carry_f[0]       # carry math in 32-bit
+        out, _ = _pair_combine(op, sv, sf, cv.astype(dt), cf)
         o_ref[:, :] = out
-        nbv, nbf = _pair_combine(op, bv, bf, cv, cf)
-        carry_v[0] = nbv
-        carry_f[0] = nbf
+        bv32 = bv if bv.dtype == cdt else bv.astype(cdt)
+        carry_v[0] = jnp.where(bf > 0, bv32, op(cv, bv32))
+        carry_f[0] = bf | cf
     else:
         sv, _, (bv, _) = _block_scan(v, None, op, ident, False)
         cv = carry_v[0]
@@ -302,13 +307,14 @@ def segmented_scan_1d(x: jax.Array, flags: jax.Array, op: str):
     f2 = fp.reshape(-1, LANES)
     spec = pl.BlockSpec((brows, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    carry_dt = x.dtype if jnp.dtype(x.dtype).itemsize >= 4 else jnp.int32
     res = pl.pallas_call(
         partial(_scan_kernel, op, True),
         grid=(grid,),
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
-        scratch_shapes=[pltpu.SMEM((1,), x.dtype),
+        scratch_shapes=[pltpu.SMEM((1,), carry_dt),
                         pltpu.SMEM((1,), jnp.int32)],
         interpret=_INTERPRET,
     )(x2, f2)

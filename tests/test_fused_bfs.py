@@ -58,3 +58,23 @@ def test_fused_grid_graph():
     res = bfs.run(g, 0, warmup=False, variant="fused")
     ref = bfs.cpu_reference(csr, 0)
     assert np.array_equal(np.asarray(res.distances), ref)
+
+
+def test_fused_route_or_matches_fallback():
+    """The 3-kernel fused (eq -> route -> segmented OR) pipeline matches
+    the separate-ops fallback (interpret mode, cube-sized graph)."""
+    import jax.numpy as jnp
+    from essentials_tpu.ops.permute import apply_plan
+    from essentials_tpu.ops.scan_kernels import segmented_scan
+    from essentials_tpu.ops import cube_router
+    coo = generate.rmat(12, 10, seed=6, undirected=True, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False, build_router=True)
+    assert isinstance(g.route_fwd, cube_router.CubePlan)
+    lev = fb.init_lev_exp(g, 7)
+    for it in (0,):
+        S_fused = fb.fused_route_or(g, lev, it)
+        y = (lev == it).astype(jnp.int32)
+        z = apply_plan(y, g.route_fwd, n_valid=g.n_edges_padded)
+        S_ref = segmented_scan(z, g.csc_seg_flags, "max")
+        assert np.array_equal(np.asarray(S_fused), np.asarray(S_ref))
