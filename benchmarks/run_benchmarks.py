@@ -16,18 +16,40 @@ import json
 import sys
 
 
+def _load(path: str):
+    """A dataset path, or a generator spec 'gen:rmat20x16' /
+    'gen:grid2048' / 'gen:uniform1048576x8' (no .mtx materialization)."""
+    from essentials_tpu.io import load_graph_file, generate
+    from essentials_tpu.io.loader import extract_dataset
+    from essentials_tpu.formats import Csr
+    if not path.startswith("gen:"):
+        return load_graph_file(path), extract_dataset(path)
+    spec = path[4:]
+    if spec.startswith("rmat"):
+        scale, ef = spec[4:].split("x")
+        coo = generate.rmat(int(scale), int(ef), seed=1, undirected=True,
+                            weighted=True)
+    elif spec.startswith("grid"):
+        side = int(spec[4:])
+        coo = generate.grid_2d(side, weighted=True)
+    elif spec.startswith("uniform"):
+        n, d = spec[7:].split("x")
+        coo = generate.uniform_random(int(n), int(d), seed=2,
+                                      undirected=True, weighted=True)
+    else:
+        raise ValueError(spec)
+    return Csr.from_coo(coo), spec
+
+
 def bench_graph(path: str, runs: int) -> list[dict]:
     import numpy as np
-    from essentials_tpu.io import load_graph_file
-    from essentials_tpu.io.loader import extract_dataset
     from essentials_tpu.graph import build_graph
     from essentials_tpu import algorithms as A
     from essentials_tpu.utils.stats import collect_stats
 
-    csr = load_graph_file(path)
+    csr, ds = _load(path)
     g = build_graph(csr, directed=False, weighted=True)
     source = int(np.argmax(np.diff(np.asarray(csr.row_offsets))))
-    ds = extract_dataset(path)
     out = []
 
     def record(name, run_fn, *a, **kw):

@@ -18,6 +18,8 @@ from essentials_tpu.formats.csr import Csr
 def load_smtx(path, *, seed: int = 0, random_values: bool = True) -> Csr:
     with open(path) as f:
         header = f.readline()
+        while header.lstrip().startswith(("%", "#")):   # comment banner
+            header = f.readline()
         parts = header.replace(",", " ").split()
         throw_if(len(parts) != 3, f"smtx: bad header {header!r}")
         n_rows, n_cols, nnz = (int(x) for x in parts)

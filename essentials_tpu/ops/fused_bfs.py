@@ -195,6 +195,90 @@ def _k3_segor_kernel(x_ref, i_ref, f_ref, o_ref, carry_v, carry_f):
     o_ref[0] = out.reshape(x.shape)
 
 
+def _suffix_pairs(s, start, carry_v, carry_start, zero):
+    """Shared suffix-first machinery: fill every position with its
+    segment's value at the segment END (s must hold per-segment totals at
+    segment ends, e.g. an inclusive segmented scan). Returns fill and
+    updates the carries. Works for any 32-bit dtype."""
+    rows = s.shape[0]
+    end = _shift_lanes_left(start, 1, jnp.zeros((), start.dtype))
+    nxt_row_start = _shift_rows_left(start[:, :1], 1,
+                                     carry_start[0].astype(start.dtype))
+    lane = jax.lax.broadcasted_iota(jnp.int32, end.shape, 1)
+    end = jnp.where(lane == LANES - 1, nxt_row_start, end)
+
+    v = jnp.where(end > 0, s, zero)
+    f = end.astype(jnp.int32)
+    zero32 = jnp.zeros((), jnp.int32)
+    k = 1
+    while k < LANES:
+        vr = _shift_lanes_left(v, k, zero)
+        fr = _shift_lanes_left(f, k, zero32)
+        v = jnp.where(f > 0, v, vr)
+        f = f | fr
+        k *= 2
+    rv = v[:, :1]
+    rf = f[:, :1]
+    pv = _shift_rows_left(rv, 1, zero)
+    pf = _shift_rows_left(rf, 1, zero32)
+    k = 1
+    while k < rows:
+        vr = _shift_rows_left(pv, k, zero)
+        fr = _shift_rows_left(pf, k, zero32)
+        pv = jnp.where(pf > 0, pv, vr)
+        pf = pf | fr
+        k *= 2
+    v = jnp.where(f > 0, v, pv)
+    f = f | pf
+    cv = carry_v[0]
+    fill = jnp.where(f > 0, v, cv)
+    carry_v[0] = jnp.where(f[0, 0] > 0, v[:1, :1][0, 0], cv)
+    carry_start[0] = start[:1, :1].astype(jnp.int32)[0, 0]
+    return fill
+
+
+def _fill_total_kernel(s_ref, f_ref, o_ref, carry_v, carry_start):
+    """Generic segment-total broadcast (suffix-first fill), 32-bit dtype."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_v[0] = jnp.zeros((), s_ref.dtype)
+        carry_start[0] = jnp.int32(1)
+
+    fill = _suffix_pairs(s_ref[:, :], f_ref[:, :].astype(jnp.int32),
+                         carry_v, carry_start, jnp.zeros((), s_ref.dtype))
+    o_ref[:, :] = fill
+
+
+def segment_broadcast_total(S: jax.Array, start_flags: jax.Array
+                            ) -> jax.Array:
+    """Broadcast each segment's END value (e.g. its inclusive-scan total)
+    to every position of the segment. [Ep] in, [Ep] out."""
+    n = S.shape[0]
+    rows = pl.cdiv(n, LANES)
+    brows = min(_ROWS, rows)
+    grid = pl.cdiv(rows, brows)
+    np_ = grid * brows * LANES
+    if np_ != n:
+        S = jnp.pad(S, (0, np_ - n))
+        start_flags = jnp.pad(start_flags.astype(jnp.int8),
+                              (0, np_ - n), constant_values=1)
+    s2 = S.reshape(-1, LANES)
+    f2 = start_flags.astype(jnp.int8).reshape(-1, LANES)
+    rev = pl.BlockSpec((brows, LANES), lambda i: (grid - 1 - i, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fill_total_kernel,
+        grid=(grid,),
+        in_specs=[rev, rev],
+        out_specs=rev,
+        out_shape=jax.ShapeDtypeStruct(s2.shape, S.dtype),
+        scratch_shapes=[pltpu.SMEM((1,), S.dtype),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=_INTERPRET,
+    )(s2, f2)
+    return out.reshape(-1)[:n]
+
+
 def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
     """(lev_exp == it) -> CSR->CSC route -> segmented OR, as ONE 3-kernel
     pipeline (the compare fuses into K1, the scan into K3)."""

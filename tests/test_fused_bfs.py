@@ -78,3 +78,34 @@ def test_fused_route_or_matches_fallback():
         z = apply_plan(y, g.route_fwd, n_valid=g.n_edges_padded)
         S_ref = segmented_scan(z, g.csc_seg_flags, "max")
         assert np.array_equal(np.asarray(S_fused), np.asarray(S_ref))
+
+
+def test_fused_pagerank_matches_generic():
+    from essentials_tpu.algorithms import pr
+    coo = generate.rmat(11, 8, seed=8, undirected=True, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=True, build_router=True)
+    assert pr.fused_supported(g)
+    rf = pr.run(g, warmup=False, variant="fused", max_iterations=50)
+    rg = pr.run(g, warmup=False, variant="generic", max_iterations=50)
+    ref = pr.cpu_reference(csr, max_iterations=50)
+    assert np.allclose(np.asarray(rf.ranks), ref, rtol=2e-3, atol=1e-7)
+    assert np.allclose(np.asarray(rf.ranks), np.asarray(rg.ranks),
+                       rtol=2e-3, atol=1e-7)
+
+
+def test_fused_pagerank_isolated_vertices():
+    from essentials_tpu.algorithms import pr
+    from essentials_tpu.formats.coo import Coo
+    # vertices 4..7 isolated
+    coo = Coo(8, 8, np.array([0, 1, 1, 2, 2, 0], np.int32),
+              np.array([1, 0, 2, 1, 0, 2], np.int32),
+              np.ones(6, np.float32))
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=True, build_router=True)
+    if not pr.fused_supported(g):
+        import pytest as _pytest
+        _pytest.skip("tiny graph: no router plans")
+    rf = pr.run(g, warmup=False, variant="fused", max_iterations=80)
+    ref = pr.cpu_reference(csr, max_iterations=80)
+    assert np.allclose(np.asarray(rf.ranks), ref, rtol=2e-3, atol=1e-7)
