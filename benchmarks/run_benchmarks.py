@@ -52,6 +52,21 @@ def bench_graph(path: str, runs: int) -> list[dict]:
     source = int(np.argmax(np.diff(np.asarray(csr.row_offsets))))
     out = []
 
+    # per-dispatch floor of this runtime (tunneled TPU pools add ~20-30 ms
+    # RTT per run; small rows carry it — readers subtract this)
+    import time as _time
+    import jax as _jax
+    import jax.numpy as _jnp
+    _nop = _jax.jit(lambda x: x + 1)
+    _nop(_jnp.zeros(8)).block_until_ready()
+    floors = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        float(_nop(_jnp.zeros(8))[0])
+        floors.append((_time.perf_counter() - t0) * 1e3)
+    dispatch_floor = round(float(np.median(floors)), 3)
+    print(f"  (dispatch floor {dispatch_floor} ms)")
+
     def record(name, run_fn, *a, **kw):
         try:
             res = run_fn(*a, warmup=True, **kw)
@@ -61,7 +76,9 @@ def bench_graph(path: str, runs: int) -> list[dict]:
             ms = float(np.median(times))
             iters = getattr(res, "iterations", 1)
             st = collect_stats(name, ds, g, ms, iters, cycles_ms=times)
-            out.append(json.loads(st.to_json()))
+            rec = json.loads(st.to_json())
+            rec["dispatch_floor_ms"] = dispatch_floor
+            out.append(rec)
             print(f"  {name:8s} {ms:10.3f} ms  {st.mteps:10.1f} MTEPS  "
                   f"{st.gbps_effective:8.1f} GB/s "
                   f"({100 * st.pct_hbm_roofline:5.1f}% HBM)", flush=True)

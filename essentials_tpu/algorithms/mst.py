@@ -147,11 +147,18 @@ def step(g: Graph, state: MstState, it) -> MstState:
     in_mst = in_mst.at[jnp.where(hooks, safe_e, ep - 1)].max(
         hooks & g.edge_mask()[safe_e])
 
-    # pointer jumping until stable (hook trees are shallow: 2-3 jumps)
-    def not_flat(p):
-        return jnp.any(p[p] != p)
+    # pointer jumping until stable (hook trees are shallow: 2-3 jumps).
+    # BOUNDED: malformed inputs (asymmetric weights on an "undirected"
+    # graph) can produce hook cycles; the bound turns a device hang into a
+    # wrong-but-terminating answer the validator catches.
+    depth = max(int(np.ceil(np.log2(max(vp, 2)))), 1) + 2
 
-    parent = jax.lax.while_loop(not_flat, lambda p: p[p], parent)
+    def not_flat(c):
+        p, i = c
+        return jnp.any(p[p] != p) & (i < depth)
+
+    parent, _ = jax.lax.while_loop(
+        not_flat, lambda c: (c[0][c[0]], c[1] + 1), (parent, jnp.int32(0)))
     new_comp = parent[comp]
 
     changed = jnp.any(hooks)

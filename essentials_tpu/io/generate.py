@@ -85,12 +85,17 @@ def grid_2d(side: int, *, weighted: bool = False, seed: int = 1) -> Coo:
     pairs.append((idx[:-1, :].ravel(), idx[1:, :].ravel()))
     rows = np.concatenate([p[0] for p in pairs])
     cols = np.concatenate([p[1] for p in pairs])
-    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
     if weighted:
+        # one weight per UNDIRECTED edge, mirrored exactly — asymmetric
+        # copies break every algorithm that treats the graph as undirected
+        # (MST's hook-cycle-freedom proof needs a consistent edge order)
         rng = np.random.default_rng(seed)
-        vals = (rng.random(rows.size, dtype=np.float32) * 9 + 1).astype(dtypes.weight_dtype)
+        half = (rng.random(rows.size, dtype=np.float32) * 9 + 1).astype(
+            dtypes.weight_dtype)
+        vals = np.concatenate([half, half])
     else:
-        vals = np.ones(rows.size, dtype=dtypes.weight_dtype)
+        vals = np.ones(2 * rows.size, dtype=dtypes.weight_dtype)
+    rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
     return Coo(n, n, rows.astype(dtypes.vertex_dtype),
                cols.astype(dtypes.vertex_dtype), vals)
 

@@ -158,3 +158,16 @@ def test_spgemm_plan_reuse_across_values():
     np.testing.assert_array_equal(r2.c.col_indices, ref2.col_indices)
     np.testing.assert_allclose(r2.c.values, ref2.values, rtol=1e-4)
     assert not np.allclose(r1.c.values, r2.c.values)
+
+
+def test_mst_grid_routed():
+    """MST on a grid mesh with router plans (the suite config that
+    crashed a TPU worker — pin the CPU-side correctness)."""
+    from essentials_tpu.io import generate
+    from essentials_tpu.graph import build_graph
+    coo = generate.grid_2d(40, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=True, build_router=True)
+    res = mst.run(g, warmup=False)
+    ref = mst.cpu_reference(csr)
+    assert abs(res.total_weight - ref) < 1e-3 * max(abs(ref), 1.0)
