@@ -174,8 +174,10 @@ def main(argv=None):
 
 class _GraphShim:
     def __init__(self, csr):
+        from essentials_tpu.graph.graph import GraphProperties
         self.n_vertices = csr.n_rows
         self.n_edges = csr.nnz
+        self.properties = GraphProperties(directed=False, weighted=False)
 
 
 if __name__ == "__main__":
