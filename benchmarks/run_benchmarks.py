@@ -41,7 +41,7 @@ def _load(path: str):
     return Csr.from_coo(coo), spec
 
 
-def bench_graph(path: str, runs: int) -> list[dict]:
+def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
     import numpy as np
     from essentials_tpu.graph import build_graph
     from essentials_tpu import algorithms as A
@@ -68,6 +68,9 @@ def bench_graph(path: str, runs: int) -> list[dict]:
     print(f"  (dispatch floor {dispatch_floor} ms)")
 
     def record(name, run_fn, *a, **kw):
+        if skip and name in skip:
+            print(f"  {name:8s} skipped")
+            return
         try:
             res = run_fn(*a, warmup=True, **kw)
             times = [res.elapsed_ms]
@@ -109,15 +112,18 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--out", default=None)
+    p.add_argument("--skip", default="",
+                   help="comma-separated algorithm names to skip")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    skip = {s for s in args.skip.split(",") if s}
     results = []
     for path in args.graphs:
         print(f"== {path} ==")
-        results.extend(bench_graph(path, args.runs))
+        results.extend(bench_graph(path, args.runs, skip))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
