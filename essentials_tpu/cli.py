@@ -46,6 +46,9 @@ def main(argv=None):
                    help="diff against the CPU reference")
     p.add_argument("--json", action="store_true", help="JSON stats output")
     p.add_argument("--cpu", action="store_true", help="force JAX CPU backend")
+    p.add_argument("--variant", default=None,
+                   help="algorithm variant: bfs 'fused'/'adaptive', "
+                        "pr 'fused'/'generic', tc 'dense'/'bitmap'/'sorted'")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -69,7 +72,8 @@ def main(argv=None):
         return res, float(np.mean(times))
 
     if name == "bfs":
-        res, ms = timed(A.bfs.run, g, args.source)
+        kw = {"variant": args.variant} if args.variant else {}
+        res, ms = timed(A.bfs.run, g, args.source, **kw)
         if args.validate:
             errors = compare(res.distances, A.bfs.cpu_reference(csr, args.source))
     elif name == "sssp":
@@ -77,7 +81,8 @@ def main(argv=None):
         if args.validate:
             errors = compare(res.distances, A.sssp.cpu_reference(csr, args.source))
     elif name == "pr":
-        res, ms = timed(A.pr.run, g)
+        kw = {"variant": args.variant} if args.variant else {}
+        res, ms = timed(A.pr.run, g, **kw)
         if args.validate:
             errors = compare(res.ranks, A.pr.cpu_reference(csr),
                              atol=1e-5, rtol=1e-3)
@@ -120,7 +125,8 @@ def main(argv=None):
             errors = compare(r2.y, A.spmv.cpu_reference(csr, x[:g.n_vertices]),
                              atol=1e-4, rtol=1e-4)
     elif name == "tc":
-        res, ms = timed(A.tc.run, csr)
+        kw = {"variant": args.variant} if args.variant else {}
+        res, ms = timed(A.tc.run, csr, **kw)
         if args.validate:
             total, vt = A.tc.cpu_reference(csr)
             errors = int(res.total != total) + int(
