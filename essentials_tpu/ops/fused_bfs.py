@@ -279,6 +279,208 @@ def segment_broadcast_total(S: jax.Array, start_flags: jax.Array
     return out.reshape(-1)[:n]
 
 
+def _fwd_fill_starts(x, start, carry_v):
+    """Forward segmented fill: every position takes the value at its
+    segment's START (start-flagged position at or before it). [R, 128]
+    int32 blocks, flat element order; carry_v holds the fill value at the
+    previous block's last position."""
+    from essentials_tpu.ops.scan_kernels import _shift_lanes, _shift_rows
+    rows = x.shape[0]
+    zero = jnp.zeros((), jnp.int32)
+    v = jnp.where(start > 0, x, zero)
+    f = start
+    k = 1
+    while k < LANES:
+        sv = _shift_lanes(v, k, zero)
+        sf = _shift_lanes(f, k, zero)
+        v = jnp.where(f > 0, v, sv)
+        f = f | sf
+        k *= 2
+    rv = v[:, LANES - 1:LANES]
+    rf = f[:, LANES - 1:LANES]
+    pv = _shift_rows(rv, 1, zero)
+    pf = _shift_rows(rf, 1, zero)
+    k = 1
+    while k < rows:
+        sv = _shift_rows(pv, k, zero)
+        sf = _shift_rows(pf, k, zero)
+        pv = jnp.where(pf > 0, pv, sv)
+        pf = pf | sf
+        k *= 2
+    v = jnp.where(f > 0, v, pv)
+    f = f | pf
+    fill = jnp.where(f > 0, v, carry_v[0])
+    carry_v[0] = fill[rows - 1:rows, LANES - 1:LANES][0, 0]
+    return fill
+
+
+def _k1_fill_eq_kernel(it_ref, x_ref, f_ref, i0_ref, i1_ref, o_ref,
+                       carry_v):
+    """K1 with start-authoritative levels: forward segment fill (only
+    segment-start positions of lev_exp are trusted), frontier compare,
+    gather c, transpose, gather b."""
+    from essentials_tpu.ops.cube_router import _g2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_v[0] = jnp.int32(UNREACHED)
+
+    x3 = x_ref[0]                                         # [8, B, C]
+    flat = x3.reshape(_MSLAB_ROWS, LANES)
+    sflat = f_ref[...].astype(jnp.int32).reshape(_MSLAB_ROWS, LANES)
+    fill = _fwd_fill_starts(flat, sflat, carry_v)
+    y = (fill == it_ref[0, 0]).astype(jnp.int32)
+    y = y.reshape(x3.shape)
+    y = _g2(y, i0_ref[...])
+    y = jnp.swapaxes(y, 1, 2)                             # [8, C, B]
+    y = _g2(y, i1_ref[...])
+    o_ref[0] = jnp.swapaxes(y, 0, 1)                      # [C, 8, B]
+
+
+def _suffix_segor(z, end, carry_v):
+    """Suffix (right-to-left) segmented OR: s[p] = OR of z[p..segment end].
+    ``end`` marks segment END positions; carry_v holds the suffix value at
+    the first position of the block to the right."""
+    rows = z.shape[0]
+    zero = jnp.zeros((), jnp.int32)
+    v = z
+    f = end
+    k = 1
+    while k < LANES:
+        vr = _shift_lanes_left(v, k, zero)
+        fr = _shift_lanes_left(f, k, zero)
+        v = v | jnp.where(f > 0, zero, vr)
+        f = f | fr
+        k *= 2
+    rv = v[:, :1]                            # whole-row suffix aggregate
+    rf = f[:, :1]
+    pv = _shift_rows_left(rv, 1, zero)       # rows strictly below, excl.
+    pf = _shift_rows_left(rf, 1, zero)
+    k = 1
+    while k < rows:
+        vr = _shift_rows_left(pv, k, zero)
+        fr = _shift_rows_left(pf, k, zero)
+        pv = pv | jnp.where(pf > 0, zero, vr)
+        pf = pf | fr
+        k *= 2
+    v = v | jnp.where(f > 0, zero, pv)
+    f = f | pf
+    v = v | jnp.where(f > 0, zero, carry_v[0])
+    carry_v[0] = v[:1, :1][0, 0]
+    return v
+
+
+def _k3_suffixor_update_kernel(x_ref, i_ref, f_ref, lev_ref, it_ref,
+                               olev_ref, oany_ref, carry_v, carry_start):
+    """K3 with the whole level tail fused: final gather, suffix segmented
+    OR (segment totals land at segment STARTS), level update at starts,
+    any-newly flag. Runs on a DESCENDING grid."""
+    from essentials_tpu.ops.cube_router import _g2
+
+    @pl.when(pl.program_id(0) == 0)          # LAST physical block
+    def _():
+        carry_v[0] = jnp.int32(0)
+        carry_start[0] = jnp.int32(1)        # global last position is an end
+        oany_ref[...] = jnp.zeros_like(oany_ref)
+
+    x = x_ref[0]                                          # [C, 8, B]
+    x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
+    x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
+    x = _g2(x, i_ref[...])
+    z = x.reshape(_MSLAB_ROWS, LANES)
+    start = f_ref[...].astype(jnp.int32).reshape(_MSLAB_ROWS, LANES)
+    zero = jnp.zeros((), jnp.int32)
+    # end(i) = start(i+1); block's last element takes the carried start bit
+    end = _shift_lanes_left(start, 1, zero)
+    nxt_row_start = _shift_rows_left(start[:, :1], 1, carry_start[0])
+    lane = jax.lax.broadcasted_iota(jnp.int32, end.shape, 1)
+    end = jnp.where(lane == LANES - 1, nxt_row_start, end)
+    s = _suffix_segor(z, end, carry_v)
+    carry_start[0] = start[:1, :1][0, 0]
+
+    lev = lev_ref[0].reshape(_MSLAB_ROWS, LANES)
+    newly = (start > 0) & (s > 0) & (lev == UNREACHED)
+    out = jnp.where(newly, it_ref[0, 0] + 1, lev)
+    olev_ref[0] = out.reshape(x.shape)
+    oany_ref[...] = oany_ref[...] | jnp.any(newly).astype(jnp.int32)
+
+
+_MSLAB_ROWS = 8 * LANES                      # flat rows per 8-m-slice slab
+
+
+def fused_superstep2(g, lev_exp: jax.Array, it) -> tuple:
+    """One dense BFS level as THREE kernels (K1 fill+eq+route-head, K2
+    middle, K3 route-tail + suffix segmented OR + level update).
+
+    Start-authoritative contract: only segment-START positions of lev_exp
+    are meaningful; K1 forward-fills them across each segment before the
+    frontier compare, K3 writes updates at starts only. Returns
+    (lev_exp', any_newly int32[1,1])."""
+    from essentials_tpu.ops.cube_router import _plan_kparts, _MSLAB, LANES as CL
+    from jax.experimental.pallas import tpu as _pltpu
+
+    plan = g.route_fwd
+    L = plan.length
+    n = lev_exp.shape[0]
+
+    def bs(shp, im):
+        return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+
+    i0, i1, i6, k2_kernel, k2_idx = _plan_kparts(plan, bs)
+    M = plan.wide if plan.form == "wbc" else plan.wide * CL
+    G = M // _MSLAB
+    x = lev_exp if n == L else jnp.pad(lev_exp, (0, L - n),
+                                       constant_values=UNREACHED)
+    xm = x.reshape(1, M, CL, CL)
+    flags = g.csc_seg_flags.astype(jnp.int8)
+    flags = (flags if n == L else jnp.pad(flags, (0, L - n),
+                                          constant_values=1))
+    fm = flags.reshape(M, CL, CL)
+
+    k1 = pl.pallas_call(
+        _k1_fill_eq_kernel, grid=(G, 1),
+        in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+                  bs((1, _MSLAB, CL, CL), lambda m, p: (p, m, 0, 0)),
+                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0)),
+                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0)),
+                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0))],
+        out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=_INTERPRET,
+    )(jnp.asarray(it, jnp.int32).reshape(1, 1), xm, fm, i0, i1)
+
+    vmem = (_pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if plan.form == "tfbc" else None)
+    k2 = pl.pallas_call(
+        k2_kernel, grid=(CL, 1),
+        in_specs=[bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0))]
+        + [spec for _, spec in k2_idx],
+        out_specs=bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
+        compiler_params=vmem,
+        interpret=_INTERPRET,
+    )(k1, *[a for a, _ in k2_idx])
+
+    rev_in = bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, G - 1 - m, 0))
+    rev_slab = bs((_MSLAB, CL, CL), lambda m, p: (G - 1 - m, 0, 0))
+    rev_x = bs((1, _MSLAB, CL, CL), lambda m, p: (p, G - 1 - m, 0, 0))
+    olev, oany = pl.pallas_call(
+        _k3_suffixor_update_kernel, grid=(G, 1),
+        in_specs=[rev_in, rev_slab, rev_slab, rev_x,
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=[rev_x,
+                   pl.BlockSpec((1, 1), lambda m, p: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, M, CL, CL), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=_INTERPRET,
+    )(k2, i6, fm, xm, jnp.asarray(it, jnp.int32).reshape(1, 1))
+    return olev.reshape(L)[:n], oany
+
+
 def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
     """(lev_exp == it) -> CSR->CSC route -> segmented OR, as ONE 3-kernel
     pipeline (the compare fuses into K1, the scan into K3)."""
@@ -341,28 +543,44 @@ def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
 def fused_superstep(g, lev_exp: jax.Array, it) -> tuple:
     """One dense BFS level on the edge axis. Returns (lev_exp', any[1,1]).
 
-    Fast path: the eq-compare, the route, and the segmented-OR scan run as
-    ONE 3-kernel pipeline (fused_route_or below); the suffix kernel
-    completes the level. Fallback (CPU / non-cube plans): separate ops."""
+    Fast path (TPU + cube plan): the 3-kernel start-authoritative pipeline
+    (fused_superstep2 — fill+eq+route-head / middle / route-tail+suffix OR
+    +level update). Fallback (CPU / non-cube plans): separate ops, writing
+    full segments (a strict superset of the start-authoritative contract,
+    so the two paths interoperate)."""
     from essentials_tpu.ops import cube_router
     if isinstance(g.route_fwd, cube_router.CubePlan) and \
             jax.default_backend() == "tpu" and not _INTERPRET:
-        S = fused_route_or(g, lev_exp, it)
-    else:
-        from essentials_tpu.ops.permute import apply_plan
-        from essentials_tpu.ops.scan_kernels import segmented_scan
-        y = (lev_exp == it).astype(jnp.int32)
-        z = apply_plan(y, g.route_fwd, n_valid=g.n_edges_padded)
-        S = segmented_scan(z, g.csc_seg_flags, "max")
-    return suffix_fill_update(S, g.csc_seg_flags, lev_exp, it + 1)
+        return fused_superstep2(g, lev_exp, it)
+    from essentials_tpu.ops.permute import apply_plan
+    from essentials_tpu.ops.scan_kernels import segmented_scan
+    # fill from starts first: lev_exp may be start-authoritative-only
+    lev_full = segmented_scan(lev_exp, g.csc_seg_flags, "first")
+    y = (lev_full == it).astype(jnp.int32)
+    z = apply_plan(y, g.route_fwd, n_valid=g.n_edges_padded)
+    # pure-XLA segment totals (no Pallas on non-TPU backends)
+    flags = g.csc_seg_flags
+    n = z.shape[0]
+    sid = jnp.cumsum(flags.astype(jnp.int32)) - flags[0].astype(jnp.int32)
+    tot = jax.ops.segment_max(z, sid, num_segments=n)
+    fill = tot[sid]
+    newly = (fill > 0) & (lev_full == UNREACHED)
+    lev2 = jnp.where(newly, jnp.asarray(it + 1, jnp.int32), lev_full)
+    any_newly = jnp.any(newly).astype(jnp.int32).reshape(1, 1)
+    return lev2, any_newly
 
 
 def init_lev_exp(g, source) -> jax.Array:
-    """lev_exp[p] = 0 where segment(p) == source else UNREACHED."""
-    from essentials_tpu.ops.segment import expand_vertex_to_edges_routed
-    n_seg = g.off_route_csr.n_seg
-    lev_v = jnp.full(n_seg, UNREACHED, jnp.int32).at[source].set(0)
-    return expand_vertex_to_edges_routed(lev_v, g.off_route_csr)
+    """lev_exp[p] = 0 where segment(p) == source else UNREACHED.
+
+    The source's segment is the contiguous CSR range
+    [row_offsets[source], row_offsets[source+1]) — one iota compare
+    (~0.05 ms) instead of a full vertex->edge expansion route (~0.6 ms)."""
+    o0 = g.row_offsets[source]
+    o1 = g.row_offsets[jnp.asarray(source) + 1]
+    p = jnp.arange(g.n_edges_padded, dtype=g.row_offsets.dtype)
+    return jnp.where((p >= o0) & (p < o1), jnp.int32(0),
+                     jnp.int32(UNREACHED))
 
 
 def collapse_lev_exp(g, lev_exp: jax.Array, source) -> jax.Array:
