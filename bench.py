@@ -56,9 +56,10 @@ def main():
         def one(i, carry):
             acc, _ = carry
             if use_fused:
-                # edge-axis fused supersteps (ops/fused_bfs.py)
-                lev, it = bfs.run_fused_levels(g, sources[i % RUNS], max_it)
-                return acc + jnp.sum(lev[:256] % 97) + it, it
+                # edge-axis dense + spray hybrid (bfs.run_hybrid_levels)
+                dist, it = bfs.run_hybrid_levels(g, sources[i % RUNS],
+                                                 max_it)
+                return acc + jnp.sum(dist[:256] % 97) + it, it
             st = bfs.init(g, sources[i % RUNS])
             def cond(c):
                 return (c[1] < max_it) & jnp.any(c[0].frontier)

@@ -120,12 +120,28 @@ def fused_supported(g: Graph) -> bool:
                 and g.off_route_csr is not None)
 
 
+def _swar_mode(g: Graph, max_it) -> bool:
+    """Static gate for the byte-SWAR dense kernels: levels must fit a
+    byte (sentinel 127) and the cube-plan TPU path must be active."""
+    from essentials_tpu.ops import fused_bfs as FB
+    from essentials_tpu.ops import cube_router
+    return (max_it <= 126
+            and isinstance(g.route_fwd, cube_router.CubePlan)
+            and jax.default_backend() == "tpu" and not FB._INTERPRET)
+
+
 def run_fused_levels(g: Graph, source, max_it):
-    """Whole BFS on the edge axis (ops/fused_bfs.py): 5 passes per level,
-    no expand/collapse inside the loop. Returns (lev_exp, iterations)."""
+    """Whole BFS on the edge axis (ops/fused_bfs.py): one fused 3-kernel
+    superstep per level, no expand/collapse inside the loop. Returns
+    (lev_exp, iterations). When max_it <= 126 the supersteps run the
+    byte-SWAR ladders (sentinel 127)."""
     from essentials_tpu.ops import fused_bfs as FB
 
-    lev0 = FB.init_lev_exp(g, source)
+    swar = _swar_mode(g, max_it)
+    unreached = FB.UNREACHED_E if swar else FB.UNREACHED
+    fp = (FB.pack_flags(g.csc_seg_flags, g.route_fwd.length)
+          if swar else None)
+    lev0 = FB.init_lev_exp(g, source, unreached)
 
     def cond(c):
         lev, go, it = c
@@ -133,12 +149,124 @@ def run_fused_levels(g: Graph, source, max_it):
 
     def body(c):
         lev, go, it = c
-        lev2, anyb = FB.fused_superstep(g, lev, it)
-        return lev2, anyb[0, 0], it + 1
+        if swar:
+            lev2, cnt = FB.fused_superstep2(g, lev, it, swar=True, fp=fp)
+        else:
+            lev2, cnt = FB.fused_superstep(g, lev, it, unreached=unreached)
+        return lev2, cnt[0, 0], it + 1
 
     lev, _, it = jax.lax.while_loop(
         cond, body, (lev0, jnp.int32(1), jnp.int32(0)))
-    return lev, it
+    return lev, it, unreached
+
+
+HYBRID_BUDGET = 1 << 15          # spray tier: sum(deg(frontier)) cap
+HYBRID_K = 1 << 15               # frontier index-list capacity (== budget)
+_SPRAY, _DENSE, _DONE = 0, 1, 2
+
+
+def run_hybrid_levels(g: Graph, source, max_it, spray_override=None):
+    """Whole BFS with per-level mode switching (on-device lax.switch):
+
+      spray   sum(deg(frontier)) <= 32K: O(budget) gathers/sorts, plus a
+              K-element scatter keeping lev_exp's segment starts current
+      dense   the fused 3-kernel edge-axis superstep (fused_superstep2)
+
+    Transitions: spray->dense is free (the touch-up scatter runs every
+    spray level); dense->spray pays one collapse (distances refresh) +
+    one [Vp] compaction, taken only when the dense level found <= K new
+    vertices. Returns (dist [Vp] int32, iterations). Head/tail levels of
+    power-law BFS and ALL levels of high-diameter BFS run spray —
+    reference parity with the vector-frontier work model
+    (framework/frontier/vector_frontier.hxx) fused into one while_loop."""
+    from essentials_tpu.ops import fused_bfs as FB
+    from essentials_tpu.ops.sparse_advance import (
+        spray_reach, frontier_out_degree, compact_frontier, spray_enabled)
+
+    K = HYBRID_K
+    vp = g.n_vertices_padded
+    ep = g.n_edges_padded
+    pad = g.pad_vertex
+    use_spray = spray_enabled(g) if spray_override is None else \
+        spray_override
+
+    swar = _swar_mode(g, max_it)
+    unreached_e = FB.UNREACHED_E if swar else FB.UNREACHED
+    fp = (FB.pack_flags(g.csc_seg_flags, g.route_fwd.length)
+          if swar else None)
+    lev0 = FB.init_lev_exp(g, source, unreached_e)
+    dist0 = jnp.full(vp, UNREACHED, jnp.int32).at[source].set(0)
+    fidx0 = jnp.full(K, pad, jnp.int32).at[0].set(source)
+    src_deg = g.row_offsets[jnp.asarray(source) + 1] - g.row_offsets[source]
+    mode0 = jnp.where(use_spray & (src_deg <= HYBRID_BUDGET),
+                      _SPRAY, _DENSE).astype(jnp.int32)
+
+    def spray_level(c):
+        lev, dist, fidx, _, fresh, it = c
+        offs, deg = frontier_out_degree(g, fidx)
+        newly, nidx, nc = spray_reach(g, fidx, offs, deg,
+                                      dist == UNREACHED, HYBRID_BUDGET, K)
+        dist2 = jnp.where(newly, it + 1, dist)
+        offs2, deg2 = frontier_out_degree(g, nidx)
+        nds = jnp.sum(deg2)
+        # touch-up: keep lev_exp current at the newly segments' STARTS so
+        # a dense level can take over at any point
+        tgt = jnp.where(nidx != pad, offs2, ep)
+        lev2 = lev.at[tgt].set(it + 1, mode="drop")
+        mode = jnp.where(nc == 0, _DONE,
+                         jnp.where(nds <= HYBRID_BUDGET, _SPRAY, _DENSE))
+        return (lev2, dist2, nidx, mode.astype(jnp.int32),
+                jnp.asarray(True), it + 1)
+
+    def dense_level(c):
+        lev, dist, fidx, _, fresh, it = c
+        if swar:
+            lev2, cnt2 = FB.fused_superstep2(g, lev, it, swar=True, fp=fp)
+        else:
+            lev2, cnt2 = FB.fused_superstep(g, lev, it,
+                                            unreached=unreached_e)
+        cnt = cnt2[0, 0]
+
+        def transition(lev2):
+            dist2 = FB.collapse_lev_exp(g, lev2, source,
+                                        unreached_e)[:vp]
+            frontier = dist2 == it + 1
+            fidx2 = compact_frontier(frontier, K, pad)
+            offs2, deg2 = frontier_out_degree(g, fidx2)
+            nds = jnp.sum(deg2)
+            mode = jnp.where(nds <= HYBRID_BUDGET, _SPRAY, _DENSE)
+            return dist2, fidx2, mode.astype(jnp.int32), jnp.asarray(True)
+
+        def stay(lev2):
+            mode = jnp.where(cnt == 0, _DONE, _DENSE)
+            return dist, fidx, mode.astype(jnp.int32), jnp.asarray(False)
+
+        take = use_spray & (cnt > 0) & (cnt <= K)
+        dist2, fidx2, mode, fr = jax.lax.cond(take, transition, stay, lev2)
+        return lev2, dist2, fidx2, mode, fr, it + 1
+
+    def body(c):
+        return jax.lax.switch(c[3], [spray_level, dense_level], c)
+
+    def cond(c):
+        return (c[3] != _DONE) & (c[5] < max_it)
+
+    lev, dist, _, _, fresh, it = jax.lax.while_loop(
+        cond, body, (lev0, dist0, fidx0, mode0, jnp.asarray(True),
+                     jnp.int32(0)))
+    # if the last level ran dense without transitioning, dist is stale:
+    # refresh from the edge axis (min-merge keeps spray-found levels exact)
+    dist = jax.lax.cond(
+        fresh,
+        lambda: dist,
+        lambda: jnp.minimum(dist, FB.collapse_lev_exp(
+            g, lev, source, unreached_e)[:vp]))
+    return dist, it
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _run_hybrid_compiled(g, source, max_it):
+    return run_hybrid_levels(g, source, max_it)
 
 
 def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:
@@ -158,17 +286,30 @@ def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnums=(2,))
 def _run_fused_compiled(g, source, max_it):
     from essentials_tpu.ops import fused_bfs as FB
-    lev, it = run_fused_levels(g, source, max_it)
-    return FB.collapse_lev_exp(g, lev, source), it
+    lev, it, unreached = run_fused_levels(g, source, max_it)
+    return FB.collapse_lev_exp(g, lev, source, unreached), it
 
 
 def run(g: Graph, source: int, *, max_iterations: int | None = None,
         compute_predecessors: bool = True, warmup: bool = True,
         variant: str = "adaptive") -> BfsResult:
-    """variant: 'adaptive' (3-tier spray/dense hybrid) or 'fused'
-    (edge-axis dense supersteps; symmetric graphs with router plans)."""
+    """variant: 'adaptive' (3-tier spray/dense hybrid on the vertex axis),
+    'fused' (edge-axis dense supersteps), or 'hybrid' (edge-axis dense +
+    spray levels with on-device mode switching; symmetric graphs with
+    router plans — the fastest path)."""
     max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
-    if variant == "fused" and fused_supported(g):
+    if variant == "hybrid" and fused_supported(g):
+        import time as _time
+        if warmup:
+            int(_run_hybrid_compiled(g, source, max_it)[1])
+        t0 = _time.perf_counter()
+        dist, it = _run_hybrid_compiled(g, source, max_it)
+        it_val = int(it)
+        jax.block_until_ready(dist)
+        elapsed = (_time.perf_counter() - t0) * 1e3
+        res = EnactResult(state=None, iterations=it_val, elapsed_ms=elapsed)
+        distances = dist
+    elif variant == "fused" and fused_supported(g):
         import time as _time
         if warmup:
             int(_run_fused_compiled(g, source, max_it)[1])

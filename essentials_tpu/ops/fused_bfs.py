@@ -402,20 +402,103 @@ def _k3_suffixor_update_kernel(x_ref, i_ref, f_ref, lev_ref, it_ref,
     newly = (start > 0) & (s > 0) & (lev == UNREACHED)
     out = jnp.where(newly, it_ref[0, 0] + 1, lev)
     olev_ref[0] = out.reshape(x.shape)
-    oany_ref[...] = oany_ref[...] | jnp.any(newly).astype(jnp.int32)
+    # newly fires at segment STARTS only -> this counts newly VERTICES
+    oany_ref[...] = oany_ref[...] + jnp.sum(newly.astype(jnp.int32))
 
 
 _MSLAB_ROWS = 8 * LANES                      # flat rows per 8-m-slice slab
+UNREACHED_E = 127          # edge-axis sentinel in SWAR mode (levels <= 126)
 
 
-def fused_superstep2(g, lev_exp: jax.Array, it) -> tuple:
+def _k1_fill_eq_swar_kernel(it_ref, x_ref, fp_ref, i0_ref, i1_ref, o_ref,
+                            carry_v):
+    """K1 with the forward fill + frontier compare on byte-SWAR packed
+    words (4 flat rows per int32): ~3x less VPU work than the int32 fill.
+    lev values must be <= 127 (UNREACHED_E sentinel)."""
+    from essentials_tpu.ops.cube_router import _g2
+    from essentials_tpu.ops import swar
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_v[0] = jnp.int32(UNREACHED_E * 0x01010101)
+
+    x3 = x_ref[0]                                         # [8, B, C] int32
+    lev_p = swar.pack4(x3.reshape(_MSLAB_ROWS, LANES))    # [256, 128]
+    fill, nc = swar.fill_from_starts(lev_p, fp_ref[0], carry_v[0])
+    carry_v[0] = nc[0, 0]
+    itw = it_ref[0, 0] * jnp.int32(0x01010101)
+    y = swar.unpack4(swar.eq_bytes(fill, itw))            # [1024, 128] 0/1
+    y = y.reshape(x3.shape)
+    y = _g2(y, i0_ref[...])
+    y = jnp.swapaxes(y, 1, 2)                             # [8, C, B]
+    y = _g2(y, i1_ref[...])
+    o_ref[0] = jnp.swapaxes(y, 0, 1)                      # [C, 8, B]
+
+
+def _k3_suffixor_update_swar_kernel(x_ref, i_ref, fp_ref, lev_ref, it_ref,
+                                    olev_ref, ocnt_ref, carry_v,
+                                    carry_start):
+    """K3 tail with the suffix segmented OR, level update, and newly count
+    on byte-SWAR packed words. Runs on a DESCENDING grid."""
+    from essentials_tpu.ops.cube_router import _g2
+    from essentials_tpu.ops import swar
+
+    @pl.when(pl.program_id(0) == 0)          # LAST physical block
+    def _():
+        carry_v[0] = jnp.int32(0)
+        carry_start[0] = jnp.int32(1)        # global last position is an end
+        ocnt_ref[...] = jnp.zeros_like(ocnt_ref)
+
+    x = x_ref[0]                                          # [C, 8, B]
+    x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
+    x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
+    x = _g2(x, i_ref[...])
+    zp = swar.pack4(x.reshape(_MSLAB_ROWS, LANES))        # [256, 128]
+    fp = fp_ref[0]
+    end, ncs = swar.end_flags(fp, carry_start[0], zp.shape[0])
+    s, ncv = swar.suffix_or(zp, end, carry_v[0])
+    carry_v[0] = ncv[0, 0]
+    carry_start[0] = ncs[0, 0]
+
+    lev_p = swar.pack4(lev_ref[0].reshape(_MSLAB_ROWS, LANES))
+    unreached = jnp.int32(UNREACHED_E * 0x01010101)
+    newly = fp & s & swar.eq_bytes(lev_p, unreached)      # 0/1 bytes, starts
+    nm = swar.byte_mask(newly)
+    itw = (it_ref[0, 0] + 1) * jnp.int32(0x01010101)
+    out_p = swar.bsel(nm, itw, lev_p)
+    olev_ref[0] = swar.unpack4(out_p).reshape(x.shape)
+    # bytes are 0/1: byte3 of newly * 0x01010101 is the per-word popcount
+    percnt = jax.lax.shift_right_logical(newly * jnp.int32(0x01010101), 24)
+    ocnt_ref[...] = ocnt_ref[...] + jnp.sum(percnt)
+
+
+def pack_flags(flags: jax.Array, L: int) -> jax.Array:
+    """Pack [n] 0/1 start flags into the per-slab plane-contiguous SWAR
+    word layout: [L/512, 128] int32 (byte b of word (s*256+pr, l) = flag
+    at slab s, flat row 256*b+pr... see ops/swar.py). Computed once per
+    run; loop-invariant."""
+    f = flags.astype(jnp.int32)
+    if f.shape[0] != L:
+        f = jnp.pad(f, (0, L - f.shape[0]), constant_values=1)
+    g4 = f.reshape(-1, 4, 256, LANES)                     # per 1024-row slab
+    return (g4[:, 0] | (g4[:, 1] << 8) | (g4[:, 2] << 16)
+            | (g4[:, 3] << 24)).reshape(-1, LANES)
+
+
+def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
+                     fp: jax.Array | None = None) -> tuple:
     """One dense BFS level as THREE kernels (K1 fill+eq+route-head, K2
     middle, K3 route-tail + suffix segmented OR + level update).
 
     Start-authoritative contract: only segment-START positions of lev_exp
     are meaningful; K1 forward-fills them across each segment before the
     frontier compare, K3 writes updates at starts only. Returns
-    (lev_exp', any_newly int32[1,1])."""
+    (lev_exp', newly_vertex_count int32[1,1]).
+
+    swar=True runs the fill / suffix-OR ladders on byte-SWAR packed words
+    (ops/swar.py, ~3x less VPU): requires levels <= 126 (sentinel
+    UNREACHED_E=127) and ``fp`` = pack_flags(g.csc_seg_flags, L) reshaped
+    [G, 256, 128] (loop-invariant; compute once per run)."""
     from essentials_tpu.ops.cube_router import _plan_kparts, _MSLAB, LANES as CL
     from jax.experimental.pallas import tpu as _pltpu
 
@@ -429,26 +512,42 @@ def fused_superstep2(g, lev_exp: jax.Array, it) -> tuple:
     i0, i1, i6, k2_kernel, k2_idx = _plan_kparts(plan, bs)
     M = plan.wide if plan.form == "wbc" else plan.wide * CL
     G = M // _MSLAB
+    unreached = UNREACHED_E if swar else UNREACHED
     x = lev_exp if n == L else jnp.pad(lev_exp, (0, L - n),
-                                       constant_values=UNREACHED)
+                                       constant_values=unreached)
     xm = x.reshape(1, M, CL, CL)
-    flags = g.csc_seg_flags.astype(jnp.int8)
-    flags = (flags if n == L else jnp.pad(flags, (0, L - n),
-                                          constant_values=1))
-    fm = flags.reshape(M, CL, CL)
+    it_s = jnp.asarray(it, jnp.int32).reshape(1, 1)
+
+    if swar:
+        fpm = fp.reshape(G, 2 * CL, CL)
+        k1_kernel = _k1_fill_eq_swar_kernel
+        k3_kernel = _k3_suffixor_update_swar_kernel
+        flag_spec = bs((1, 2 * CL, CL), lambda m, p: (m, 0, 0))
+        flag_spec_rev = bs((1, 2 * CL, CL), lambda m, p: (G - 1 - m, 0, 0))
+        flags_in = fpm
+    else:
+        flags = g.csc_seg_flags.astype(jnp.int8)
+        flags = (flags if n == L else jnp.pad(flags, (0, L - n),
+                                              constant_values=1))
+        fm = flags.reshape(M, CL, CL)
+        k1_kernel = _k1_fill_eq_kernel
+        k3_kernel = _k3_suffixor_update_kernel
+        flag_spec = bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0))
+        flag_spec_rev = bs((_MSLAB, CL, CL), lambda m, p: (G - 1 - m, 0, 0))
+        flags_in = fm
 
     k1 = pl.pallas_call(
-        _k1_fill_eq_kernel, grid=(G, 1),
+        k1_kernel, grid=(G, 1),
         in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
                   bs((1, _MSLAB, CL, CL), lambda m, p: (p, m, 0, 0)),
-                  bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0)),
+                  flag_spec,
                   bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0)),
                   bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0))],
         out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=_INTERPRET,
-    )(jnp.asarray(it, jnp.int32).reshape(1, 1), xm, fm, i0, i1)
+    )(it_s, xm, flags_in, i0, i1)
 
     vmem = (_pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
             if plan.form == "tfbc" else None)
@@ -463,11 +562,12 @@ def fused_superstep2(g, lev_exp: jax.Array, it) -> tuple:
     )(k1, *[a for a, _ in k2_idx])
 
     rev_in = bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, G - 1 - m, 0))
-    rev_slab = bs((_MSLAB, CL, CL), lambda m, p: (G - 1 - m, 0, 0))
     rev_x = bs((1, _MSLAB, CL, CL), lambda m, p: (p, G - 1 - m, 0, 0))
     olev, oany = pl.pallas_call(
-        _k3_suffixor_update_kernel, grid=(G, 1),
-        in_specs=[rev_in, rev_slab, rev_slab, rev_x,
+        k3_kernel, grid=(G, 1),
+        in_specs=[rev_in,
+                  bs((_MSLAB, CL, CL), lambda m, p: (G - 1 - m, 0, 0)),
+                  flag_spec_rev, rev_x,
                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
         out_specs=[rev_x,
                    pl.BlockSpec((1, 1), lambda m, p: (0, 0),
@@ -477,7 +577,7 @@ def fused_superstep2(g, lev_exp: jax.Array, it) -> tuple:
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
         interpret=_INTERPRET,
-    )(k2, i6, fm, xm, jnp.asarray(it, jnp.int32).reshape(1, 1))
+    )(k2, i6, flags_in, xm, it_s)
     return olev.reshape(L)[:n], oany
 
 
@@ -540,8 +640,9 @@ def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
     return k3.reshape(L)[:n]
 
 
-def fused_superstep(g, lev_exp: jax.Array, it) -> tuple:
-    """One dense BFS level on the edge axis. Returns (lev_exp', any[1,1]).
+def fused_superstep(g, lev_exp: jax.Array, it, *,
+                    unreached: int = UNREACHED) -> tuple:
+    """One dense BFS level on the edge axis. Returns (lev_exp', cnt[1,1]).
 
     Fast path (TPU + cube plan): the 3-kernel start-authoritative pipeline
     (fused_superstep2 — fill+eq+route-head / middle / route-tail+suffix OR
@@ -564,14 +665,14 @@ def fused_superstep(g, lev_exp: jax.Array, it) -> tuple:
     sid = jnp.cumsum(flags.astype(jnp.int32)) - flags[0].astype(jnp.int32)
     tot = jax.ops.segment_max(z, sid, num_segments=n)
     fill = tot[sid]
-    newly = (fill > 0) & (lev_full == UNREACHED)
+    newly = (fill > 0) & (lev_full == unreached)
     lev2 = jnp.where(newly, jnp.asarray(it + 1, jnp.int32), lev_full)
-    any_newly = jnp.any(newly).astype(jnp.int32).reshape(1, 1)
-    return lev2, any_newly
+    cnt = jnp.sum((newly & (flags != 0)).astype(jnp.int32)).reshape(1, 1)
+    return lev2, cnt
 
 
-def init_lev_exp(g, source) -> jax.Array:
-    """lev_exp[p] = 0 where segment(p) == source else UNREACHED.
+def init_lev_exp(g, source, unreached: int = UNREACHED) -> jax.Array:
+    """lev_exp[p] = 0 where segment(p) == source else ``unreached``.
 
     The source's segment is the contiguous CSR range
     [row_offsets[source], row_offsets[source+1]) — one iota compare
@@ -580,12 +681,15 @@ def init_lev_exp(g, source) -> jax.Array:
     o1 = g.row_offsets[jnp.asarray(source) + 1]
     p = jnp.arange(g.n_edges_padded, dtype=g.row_offsets.dtype)
     return jnp.where((p >= o0) & (p < o1), jnp.int32(0),
-                     jnp.int32(UNREACHED))
+                     jnp.int32(unreached))
 
 
-def collapse_lev_exp(g, lev_exp: jax.Array, source) -> jax.Array:
-    """lev_exp -> per-vertex distances [Vp] (UNREACHED at empty segments
-    except the source itself)."""
+def collapse_lev_exp(g, lev_exp: jax.Array, source,
+                     unreached: int = UNREACHED) -> jax.Array:
+    """lev_exp -> per-vertex distances [Vp], translating the edge-axis
+    sentinel (``unreached``; 127 in SWAR mode) to the vertex-axis
+    UNREACHED (int32 max). Empty segments are UNREACHED except the
+    source itself."""
     from essentials_tpu.ops.permute import apply_plan
     from essentials_tpu.ops.scan_kernels import segmented_scan
     route = g.off_route_csr
@@ -593,6 +697,7 @@ def collapse_lev_exp(g, lev_exp: jax.Array, source) -> jax.Array:
     picked = apply_plan(lev_exp, route.inv_plan, n_valid=n_seg + 1)
     ff = segmented_scan(picked, route.run_start, "first")
     seg_len = route.seg_len
-    lev_v = jnp.where(seg_len > 0, ff[:n_seg], UNREACHED)
+    lev_v = jnp.where((seg_len > 0) & (ff[:n_seg] < unreached),
+                      ff[:n_seg], UNREACHED)
     lev_v = lev_v[:g.n_vertices_padded].at[source].min(0)
     return lev_v

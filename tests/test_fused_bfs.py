@@ -109,3 +109,32 @@ def test_fused_pagerank_isolated_vertices():
     rf = pr.run(g, warmup=False, variant="fused", max_iterations=80)
     ref = pr.cpu_reference(csr, max_iterations=80)
     assert np.allclose(np.asarray(rf.ranks), ref, rtol=2e-3, atol=1e-7)
+
+
+def test_hybrid_bfs_matches_reference(g_rmat):
+    """Hybrid driver (spray + dense levels, on-device mode switching)."""
+    import jax
+    csr, g = g_rmat
+    for src in (0, 5, 100):
+        for force in (True, False):
+            dist, it = jax.jit(
+                lambda s: bfs.run_hybrid_levels(g, s, 64,
+                                                spray_override=force))(src)
+            ref = bfs.cpu_reference(csr, src)
+            assert np.array_equal(np.asarray(dist)[:csr.n_rows], ref), \
+                (src, force)
+
+
+def test_hybrid_grid_graph():
+    """High-diameter graph: spray-only trajectory (forced)."""
+    import jax
+    coo = generate.grid_2d(24, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False, build_router=True)
+    if not bfs.fused_supported(g):
+        pytest.skip("tiny graph: no router plans")
+    dist, it = jax.jit(
+        lambda s: bfs.run_hybrid_levels(g, s, 2000,
+                                        spray_override=True))(0)
+    ref = bfs.cpu_reference(csr, 0)
+    assert np.array_equal(np.asarray(dist)[:csr.n_rows], ref)
