@@ -5,6 +5,13 @@ Reference parity: the NVBench binaries + test_benchmarks.sh
 has no dataset egress, so the default suite is generated (see
 datasets/generate_suite.py); pass .mtx paths to use real graphs.
 
+Timing protocol (round 3): amortized replay (benchmarks/replay.py) — each
+algorithm's whole run (init/guard + while_loop) replays R times inside one
+jitted fori_loop with a single scalar fetch, so rows measure kernels, not
+the ~20-30 ms tunneled-dispatch floor. Rows carry `timing: "replay(R=N)"`;
+host-phased algorithms (tc) keep single-dispatch timing with the floor
+noted.
+
 Usage:
   python benchmarks/run_benchmarks.py [--cpu] [--out results.json] [graphs...]
 """
@@ -41,67 +48,219 @@ def _load(path: str):
     return Csr.from_coo(coo), spec
 
 
-def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
-    import numpy as np
-    from essentials_tpu.graph import build_graph
-    from essentials_tpu import algorithms as A
-    from essentials_tpu.utils.stats import collect_stats
-
-    csr, ds = _load(path)
-    g = build_graph(csr, directed=False, weighted=True)
-    source = int(np.argmax(np.diff(np.asarray(csr.row_offsets))))
-    out = []
-
-    # per-dispatch floor of this runtime (tunneled TPU pools add ~20-30 ms
-    # RTT per run; small rows carry it — readers subtract this)
+def _dispatch_floor() -> float:
     import time as _time
+    import numpy as np
     import jax as _jax
     import jax.numpy as _jnp
     _nop = _jax.jit(lambda x: x + 1)
-    _nop(_jnp.zeros(8)).block_until_ready()
+    float(_nop(_jnp.zeros(8))[0])
     floors = []
     for _ in range(5):
         t0 = _time.perf_counter()
         float(_nop(_jnp.zeros(8))[0])
         floors.append((_time.perf_counter() - t0) * 1e3)
-    dispatch_floor = round(float(np.median(floors)), 3)
-    print(f"  (dispatch floor {dispatch_floor} ms)")
+    return round(float(np.median(floors)), 3)
 
-    def record(name, run_fn, *a, **kw):
+
+def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu import algorithms as A
+    from essentials_tpu.framework.enactor import default_converged
+    from essentials_tpu.utils.stats import collect_stats
+    try:
+        from benchmarks.replay import replay_ms, enact_body, guard
+    except ModuleNotFoundError:     # invoked as `python benchmarks/...`
+        from replay import replay_ms, enact_body, guard
+
+    csr, ds = _load(path)
+    g = build_graph(csr, directed=False, weighted=True)
+    deg = np.diff(np.asarray(csr.row_offsets))
+    sources = np.argsort(-deg)[:8].astype(np.int32)
+    v1 = g.n_vertices + 1
+    out = []
+    floor = _dispatch_floor()
+    print(f"  (dispatch floor {floor} ms)")
+    R = max(runs, 4)
+
+    def add(name, fn):
         if skip and name in skip:
-            print(f"  {name:8s} skipped")
+            print(f"  {name:10s} skipped")
             return
         try:
-            res = run_fn(*a, warmup=True, **kw)
-            times = [res.elapsed_ms]
-            for _ in range(runs - 1):
-                times.append(run_fn(*a, warmup=False, **kw).elapsed_ms)
-            ms = float(np.median(times))
-            iters = getattr(res, "iterations", 1)
-            st = collect_stats(name, ds, g, ms, iters, cycles_ms=times)
+            ms, iters, cycles = fn()
+            st = collect_stats(name, ds, g, ms, iters, cycles_ms=cycles)
             rec = json.loads(st.to_json())
-            rec["dispatch_floor_ms"] = dispatch_floor
+            rec["dispatch_floor_ms"] = floor
+            rec["timing"] = f"replay(R={R})"
             out.append(rec)
-            print(f"  {name:8s} {ms:10.3f} ms  {st.mteps:10.1f} MTEPS  "
+            print(f"  {name:10s} {ms:10.3f} ms  {st.mteps:10.1f} MTEPS  "
                   f"{st.gbps_effective:8.1f} GB/s "
                   f"({100 * st.pct_hbm_roofline:5.1f}% HBM)", flush=True)
         except Exception as e:  # keep the suite running
-            print(f"  {name:8s} FAILED: {type(e).__name__}: {e}")
+            print(f"  {name:10s} FAILED: {type(e).__name__}: {e}")
             out.append({"algorithm": name, "dataset": ds, "error": str(e)})
 
-    record("bfs", A.bfs.run, g, source)
+    def src_body(init_fn, step_fn, conv_fn=default_converged,
+                 max_it=None):
+        mi = max_it or v1
+
+        def body(g, _, s):
+            st0 = init_fn(g, s)
+
+            def cond(c):
+                st, it = c
+                done = jnp.logical_and(it > 0, conv_fn(g, st, it))
+                return jnp.logical_and(it < mi, jnp.logical_not(done))
+
+            return jax.lax.while_loop(
+                cond, lambda c: (step_fn(g, c[0], c[1]), c[1] + 1),
+                (st0, jnp.int32(0)))
+        return body
+
+    # --- traversal (source-seeded) ---
+    add("bfs", lambda: replay_ms(
+        src_body(A.bfs.init, A.bfs.step), g, None, sources, R=R))
     if A.bfs.fused_supported(g):
-        record("bfs_fused", A.bfs.run, g, source, variant="fused")
-    record("sssp", A.sssp.run, g, source)
-    record("pr", A.pr.run, g)
-    record("ppr", A.ppr.run, g, source)
-    record("bc", A.bc.run, g, source)
-    record("color", A.color.run, g)
-    record("kcore", A.kcore.run, g)
-    record("hits", A.hits.run, g)
-    record("spmv", A.spmv.run, g)
-    record("tc", A.tc.run, csr)
-    record("mst", A.mst.run, g)
+        from essentials_tpu.ops import fused_bfs as FB
+
+        def bfs_fused_body(g, _, s):
+            lev, it, unreached = A.bfs.run_fused_levels(g, s, 64)
+            return (FB.collapse_lev_exp(g, lev, s, unreached),), it
+
+        add("bfs_fused", lambda: replay_ms(bfs_fused_body, g, None,
+                                           sources, R=R))
+
+        def bfs_hybrid_body(g, _, s):
+            dist, it = A.bfs.run_hybrid_levels(g, s, 64)
+            return (dist,), it
+
+        add("bfs_hybrid", lambda: replay_ms(bfs_hybrid_body, g, None,
+                                            sources, R=R))
+    add("sssp", lambda: replay_ms(
+        src_body(A.sssp.init, A.sssp.step), g, None, sources, R=R))
+    if A.sssp.fused_supported(g):
+        from essentials_tpu.ops.fused_sssp import run_fused_sssp
+
+        def sssp_fused_body(g, _, s):
+            dist, it = run_fused_sssp(g, s, v1)
+            return (dist,), it
+
+        add("sssp_fused", lambda: replay_ms(sssp_fused_body, g, None,
+                                            sources, R=R))
+    add("ppr", lambda: replay_ms(
+        src_body(lambda g, s: A.ppr.init(g, s), A.ppr.step), g, None,
+        sources, R=R))
+
+    def bc_body(g, _, s):
+        delta, depth, levels = A.bc._single_source_deps(g, s, v1)
+        return (delta,), levels
+
+    add("bc", lambda: replay_ms(bc_body, g, None, sources, R=R))
+
+    # --- seedless (guarded init outside the loop) ---
+    add("pr", lambda: replay_ms(
+        enact_body(A.pr.step, A.pr.converged, v1), g, A.pr.init(g),
+        sources, R=R))
+    add("color", lambda: replay_ms(
+        enact_body(A.color.step, default_converged, v1), g,
+        A.color.init(g), sources, R=R))
+    add("kcore", lambda: replay_ms(
+        enact_body(A.kcore.step, A.kcore.converged, v1), g,
+        A.kcore.init(g), sources, R=R))
+    add("hits", lambda: replay_ms(
+        enact_body(A.hits.step, A.hits.converged, 50), g, A.hits.init(g),
+        sources, R=R))
+    add("mst", lambda: replay_ms(
+        enact_body(A.mst.step, A.mst.converged, v1), g, A.mst.init(g),
+        sources, R=R))
+
+    def geo_state0():
+        rng = np.random.default_rng(7)
+        n = g.n_vertices
+        lat = rng.uniform(-60, 60, n).astype(np.float32)
+        lon = rng.uniform(-180, 180, n).astype(np.float32)
+        unknown = rng.random(n) > 0.2        # 20% located (ref-style input)
+        lat[unknown] = np.nan
+        lon[unknown] = np.nan
+        return A.geo.init(g, lat, lon)
+
+    add("geo", lambda: replay_ms(
+        enact_body(A.geo.step, A.geo.converged, 10), g, geo_state0(),
+        sources, R=R))
+
+    x0 = None
+
+    def spmv_body(g, x0, s):
+        x = guard(x0, s)
+        return (A.spmv.spmv_pull(g, x),), jnp.int32(1)
+
+    import jax.numpy as jnp  # noqa: F811
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.where(g.vertex_mask(),
+                   jax.random.uniform(key, (g.n_vertices_padded,),
+                                      jnp.float32), 0.0)
+    add("spmv", lambda: replay_ms(spmv_body, g, x0, sources, R=R))
+
+    # --- spgemm: A @ A numeric phase (structure-static plan), gated on
+    # the product count so the symbolic plan stays tractable ---
+    if not (skip and "spgemm" in skip):
+        try:
+            off = np.asarray(csr.row_offsets)
+            products = int(deg.astype(np.int64)[np.asarray(
+                csr.col_indices)].sum())
+            if products <= (1 << 26):
+                from essentials_tpu.algorithms import spgemm as SG
+                import time as _time
+                t0 = _time.perf_counter()
+                plan = SG.make_plan(csr, csr)
+                plan_s = _time.perf_counter() - t0
+                av = jnp.asarray(np.asarray(csr.values, np.float32))
+
+                def spgemm_body(g, av, s):
+                    return (SG.numeric(plan, guard(av, s), av),), jnp.int32(1)
+
+                ms, iters, cycles = replay_ms(spgemm_body, g, av, sources,
+                                              R=R)
+                st = collect_stats("spgemm", ds, g, ms, 1, cycles_ms=cycles,
+                                   edges_visited=products)
+                rec = json.loads(st.to_json())
+                rec["dispatch_floor_ms"] = floor
+                rec["timing"] = f"replay(R={R})"
+                rec["plan_seconds"] = round(plan_s, 2)
+                rec["n_products"] = products
+                out.append(rec)
+                print(f"  {'spgemm':10s} {ms:10.3f} ms  "
+                      f"(plan {plan_s:.1f}s, {products/1e6:.1f}M products)",
+                      flush=True)
+            else:
+                print(f"  {'spgemm':10s} skipped ({products/1e6:.0f}M "
+                      f"products > 64M gate)")
+                out.append({"algorithm": "spgemm", "dataset": ds,
+                            "skipped": f"{products} products > 2^26 gate"})
+        except Exception as e:
+            print(f"  {'spgemm':10s} FAILED: {type(e).__name__}: {e}")
+            out.append({"algorithm": "spgemm", "dataset": ds,
+                        "error": str(e)})
+
+    # --- tc: host-phased chunk driver; single-dispatch timing, floor noted
+    if not (skip and "tc" in skip):
+        try:
+            res = A.tc.run(csr, warmup=True)
+            st = collect_stats("tc", ds, g, res.elapsed_ms, 1)
+            rec = json.loads(st.to_json())
+            rec["dispatch_floor_ms"] = floor
+            rec["timing"] = "single-dispatch (host-phased chunks)"
+            rec["triangles"] = res.total
+            out.append(rec)
+            print(f"  {'tc':10s} {res.elapsed_ms:10.3f} ms  "
+                  f"({res.total} triangles)", flush=True)
+        except Exception as e:
+            print(f"  {'tc':10s} FAILED: {type(e).__name__}: {e}")
+            out.append({"algorithm": "tc", "dataset": ds, "error": str(e)})
     return out
 
 
@@ -110,7 +269,8 @@ def main(argv=None):
     p.add_argument("graphs", nargs="*",
                    default=["datasets/chesapeake.mtx"])
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--runs", type=int, default=4,
+                   help="replay count R per timing cycle")
     p.add_argument("--out", default=None)
     p.add_argument("--skip", default="",
                    help="comma-separated algorithm names to skip")

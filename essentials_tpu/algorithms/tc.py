@@ -241,9 +241,161 @@ def _run_sorted(csr: Csr, warmup: bool) -> TcResult:
     return TcResult(total, vt.astype(np.int32), ms)
 
 
+# ------------------------------------------------------------------ #
+# shift-pass sort-join path (any V; device-resident; total count only)
+#
+# The bitmap path's traffic is O(E * V) — a hard wall at V >= 1M (rmat20:
+# 4 PB). This path keeps ALL work on device with NO arbitrary gathers:
+# relabel vertices by orientation rank (so oriented edges are (lo -> hi)
+# in new ids and neighborhoods sort ascending), order rows by out-degree
+# DESCENDING, and enumerate every within-row neighbor pair as a LANE SHIFT:
+#
+#   pass s: candidate pairs (wec[p], wec[p+s]) for p in [0, B_s)
+#           (B_s = total degree of rows with degree > s — a PREFIX of the
+#           edge axis thanks to the degree-descending row order)
+#
+# Each unordered pair {i < j} of a row appears in exactly one pass
+# (s = j - i), so the candidate multiset is exactly the wedge set
+# (sum-of-(d choose 2) pairs). Membership of (c1, c2) in the oriented edge
+# set is a sort-join: pack (c1 << 21 | c2 << 1 | tag) into ONE int64 key
+# (1-key i64 lax.sort measured 322M rec/s vs 232M for 2-key i32 on v5e),
+# sort candidates + edge keys per chunk, and a wedge counts iff its
+# (c1, c2) group opens with an edge record (segmented forward fill).
+#
+# rmat20 scale: 2.45B generated slots (1.23B valid wedges) -> ~19 chunks
+# of 2^27 records, ~0.45 s sort each. Reference parity: this replaces
+# graph/csr.hxx:110-167 + tc.hxx:75-93 at whole-graph scale where the
+# per-edge bitmap/dense engines cannot reach.
+
+_SHIFT_CHUNK = 1 << 27
+_shift_cache: dict = {}
+
+
+def _shift_prep(csr: Csr):
+    cached = _shift_cache.get(id(csr))
+    if cached is not None:
+        return cached
+    n = csr.n_rows
+    off = np.asarray(csr.row_offsets)
+    cols = np.asarray(csr.col_indices)
+    deg_all = np.diff(off).astype(np.int64)
+    rank = deg_all * (n + 1) + np.arange(n)
+    perm = np.argsort(rank, kind="stable")
+    newid = np.empty(n, np.int64)
+    newid[perm] = np.arange(n)
+    src = np.repeat(np.arange(n), deg_all)
+    s2, c2 = newid[src], newid[cols]
+    keep = s2 < c2                       # orientation == new-id order
+    es, ec = s2[keep], c2[keep]
+    d = np.bincount(es, minlength=n).astype(np.int64)
+    roworder = np.argsort(-d, kind="stable")
+    rowpos = np.empty(n, np.int64)
+    rowpos[roworder] = np.arange(n)
+    order = np.lexsort((ec, rowpos[es]))
+    wec = ec[order].astype(np.int32)     # degree-desc rows, asc neighbors
+    dsorted = d[roworder]
+    ends = np.cumsum(dsorted)
+    pos_end = np.repeat(ends, dsorted).astype(np.int32)
+    maxd = int(dsorted[0]) if len(dsorted) else 0
+    cs = ends[-1] if len(ends) else 0
+    B = []
+    for s in range(1, maxd):
+        k = int(np.count_nonzero(dsorted > s))
+        b = int(ends[k - 1]) if k else 0
+        B.append(b)
+    # chunk plan: greedy pass groups of <= _SHIFT_CHUNK slots
+    chunks, cur, tot = [], [], 0
+    for s, b in enumerate(B, start=1):
+        if b == 0:
+            break
+        if cur and tot + b > _SHIFT_CHUNK:
+            chunks.append(tuple(cur))
+            cur, tot = [], 0
+        cur.append((s, b))
+        tot += b
+    if cur:
+        chunks.append(tuple(cur))
+    ek1 = es.astype(np.int32)
+    ek2 = (ec.astype(np.int32) << 1)                 # tag 0 = edge
+    prep = (jnp.asarray(np.concatenate([wec, np.zeros(maxd + 1, np.int32)])),
+            jnp.asarray(pos_end), (jnp.asarray(ek1), jnp.asarray(ek2)),
+            chunks)
+    _shift_cache.clear()
+    _shift_cache[id(csr)] = prep
+    return prep
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _shift_chunk_count(wec_pad, pos_end, ekey, parts):
+    """Two-key int32 records (k1 = c1, k2 = c2 << 1 | tag): the TPU
+    compiler is int32-native (an i64-packed key variant SIGSEGV'd the
+    backend at 134M records) and 2-key i32 lax.sort measured 232M rec/s
+    on v5e. Edges (tag 0) sort before wedges (tag 1) of the same pair."""
+    ek1, ek2 = ekey
+    sent = jnp.int32(2 ** 30)
+    r1, r2 = [ek1], [ek2]
+    for s, b in parts:
+        c1 = jax.lax.slice(wec_pad, [0], [b])
+        c2 = jax.lax.slice(wec_pad, [s], [s + b])
+        valid = (jnp.arange(b, dtype=jnp.int32) + s) \
+            < jax.lax.slice(pos_end, [0], [b])
+        r1.append(jnp.where(valid, c1, sent))
+        r2.append(jnp.where(valid, (c2 << 1) | 1, sent))
+    k1, k2 = jax.lax.sort((jnp.concatenate(r1), jnp.concatenate(r2)),
+                          num_keys=2)
+    # a wedge (odd k2) is a triangle iff its (c1, c2) run opens with the
+    # edge record (same k1, k2 - 1, sorted immediately before the run).
+    # Gather-free fill: encode (run-start index << 1 | opens-with-edge),
+    # -1 elsewhere; running max propagates the nearest run start and the
+    # LSB carries the flag.
+    n = k1.shape[0]
+    p1 = jnp.concatenate([jnp.full(1, -1, jnp.int32), k1[:-1]])
+    p2 = jnp.concatenate([jnp.full(1, -1, jnp.int32), k2[:-1]])
+    run_start = (p1 != k1) | (p2 != k2)
+    opens_edge = run_start & (p1 == k1) & (p2 == k2 - 1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    enc = jnp.where(run_start, (idx << 1) | opens_edge.astype(jnp.int32),
+                    jnp.full(n, -1, jnp.int32))
+    m = jax.lax.cummax(enc)
+    found = ((k2 & 1) == 1) & (k1 != sent) & ((m & 1) == 1)
+    return jnp.sum(found.astype(jnp.int32)).astype(jnp.int32)
+
+
+def _run_shift(csr: Csr, warmup: bool) -> TcResult:
+    """Exact TOTAL triangle count at any V (vertex_triangles not computed
+    on this path — zeros returned; use 'bitmap'/'dense'/'sorted' when
+    per-vertex counts are needed and fit)."""
+    wec_pad, pos_end, ekey, chunks = _shift_prep(csr)
+    if not chunks:
+        return TcResult(0, np.zeros(csr.n_rows, np.int32), 0.0)
+    if warmup:
+        fence(_shift_chunk_count(wec_pad, pos_end, ekey, chunks[0]))
+    total = 0
+    t = Timer().begin()
+    for parts in chunks:
+        total += int(_shift_chunk_count(wec_pad, pos_end, ekey, parts))
+    ms = t.end()
+    return TcResult(int(total), np.zeros(csr.n_rows, np.int32), ms)
+
+
+def cpu_reference_total(csr) -> int:
+    """Host exact triangle total via scipy masked A^2 (row-blocked)."""
+    import scipy.sparse as sp
+    n = csr.n_rows
+    noff, es, ec = _oriented_csr(csr)
+    a = sp.csr_matrix((np.ones(len(es), np.int64), (es, ec)), shape=(n, n))
+    total = 0
+    step = 1 << 16
+    for lo in range(0, n, step):
+        blk = a[lo:lo + step]
+        total += int((blk @ a).multiply(blk).sum())
+    return total
+
+
 def run(csr: Csr, *, warmup: bool = True, dense: bool | None = None,
         variant: str | None = None) -> TcResult:
-    """variant: None (auto) | 'dense' | 'bitmap' | 'sorted'."""
+    """variant: None (auto) | 'dense' | 'bitmap' | 'sorted' | 'shift'.
+    'shift' scales to any V but reports the total only."""
     if variant is None:
         if dense if dense is not None else csr.n_rows <= _DENSE_MAX_V:
             variant = "dense"
@@ -251,10 +403,12 @@ def run(csr: Csr, *, warmup: bool = True, dense: bool | None = None,
                 (csr.n_rows + 1) * (-(-csr.n_rows // 32)) * 4
                 <= _BITMAP_MAX_BYTES):
             variant = "bitmap"
+        elif jax.default_backend() == "tpu":
+            variant = "shift"
         else:
             variant = "sorted"
     return {"dense": _run_dense, "bitmap": _run_bitmap,
-            "sorted": _run_sorted}[variant](csr, warmup)
+            "sorted": _run_sorted, "shift": _run_shift}[variant](csr, warmup)
 
 
 def cpu_reference(csr) -> tuple[int, np.ndarray]:

@@ -46,3 +46,19 @@ def test_pack_unpack_roundtrip():
     for s, d in zip(src[:50], dst[:50]):
         assert (words[s, d >> 5] >> (d & 31)) & 1 == 1
     assert not words[n].any()  # pad row stays zero
+
+
+def test_shift_variant_total_matches():
+    """Shift-pass sort-join total vs the set-based host reference."""
+    import numpy as np
+    from essentials_tpu.algorithms import tc
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.io import generate
+    for seed in (3, 11):
+        coo = generate.rmat(9, 12, seed=seed, undirected=True,
+                            weighted=False)
+        csr = Csr.from_coo(coo)
+        ref_total, _ = tc.cpu_reference(csr)
+        res = tc.run(csr, warmup=False, variant="shift")
+        assert res.total == ref_total, (seed, res.total, ref_total)
+        assert tc.cpu_reference_total(csr) == ref_total
