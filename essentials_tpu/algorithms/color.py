@@ -182,11 +182,121 @@ def step(g: Graph, state: ColorState, it) -> ColorState:
     return ColorState(nc, pris, pri_csc, nf, fi2, cnt, cnt <= K)
 
 
+# ------------------------------------------------------------------ #
+# speculative recolor variant ("spec"): everyone picks a hashed color from
+# a per-vertex palette of size deg+1; per round, the HIGHER-(deg,id)-rank
+# endpoint of every conflicting edge rehashes. Conflicts decay
+# geometrically (P(re-conflict) ~ 1/(deg+1)), so round count is ~log E
+# instead of Jones-Plassmann's priority-chain depth (measured 100 rounds
+# x ~85 ms dense sweeps = 8.5 s at rmat20 for the JP/8-wave path). The
+# detection advance runs dense only while the recolored set is large;
+# the budgeted spray path covers the shrinking tail (conflicts can only
+# involve a vertex recolored last round, so its out-edges suffice on
+# symmetric graphs). Trades color-count quality (<= maxdeg+1, typically a
+# few x chromatic) for a ~20x round reduction — the reference's JP
+# formulation is kept as the default variant for parity
+# (color.hxx:96-141).
+
+
+class SpecState(NamedTuple):
+    colors: jax.Array       # int32[Vp] current speculative colors
+    frontier: jax.Array     # bool[Vp] recolored last round
+    fidx: jax.Array         # int32[K]
+    fvalid: jax.Array
+
+
+def _hash_color(v, deg, it, seed):
+    """Cheap avalanching integer hash -> [0, deg]."""
+    x = v.astype(jnp.uint32) * jnp.uint32(2654435761)
+    x = x ^ (jnp.uint32(seed * 0x9E3779B9) + jnp.uint32(it).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x45D9F3B)
+    x = x ^ (x >> 16)
+    return (x % (deg.astype(jnp.uint32) + 1)).astype(jnp.int32)
+
+
+def init_spec(g: Graph, seed: int = 0) -> SpecState:
+    vp = g.n_vertices_padded
+    deg = jnp.where(g.vertex_mask(), g.out_degrees(), 0).astype(jnp.int32)
+    v = jnp.arange(vp, dtype=jnp.int32)
+    colors = jnp.where(g.vertex_mask(),
+                       _hash_color(v, deg, jnp.int32(0), seed), -1)
+    return SpecState(colors, full_frontier(g),
+                     jnp.full(SPRAY_K, g.pad_vertex, jnp.int32),
+                     jnp.asarray(False))
+
+
+def step_spec(g: Graph, state: SpecState, it, seed: int = 0) -> SpecState:
+    from essentials_tpu.ops import advance, AdvanceIO
+    colors, frontier, fidx, fvalid = state
+    K = SPRAY_K
+    vp = g.n_vertices_padded
+    deg_all = jnp.where(g.vertex_mask(), g.out_degrees(), 0).astype(jnp.int32)
+    v_ids = jnp.arange(vp, dtype=jnp.int32)
+    # rank = (deg, id): hubs keep their colors, leaves rehash
+    rank = deg_all * jnp.int32(vp + 1) + v_ids
+
+    def dense(_):
+        # conflicted[d] = OR over edges (s->d): same color, s keeps
+        def msg(e):
+            return ((e.src_vals[0] == e.dst_vals[0])
+                    & (e.src_vals[1] < e.dst_vals[1])).astype(jnp.int32)
+
+        c = advance(g, msg, None, src_values=(colors, rank),
+                    dst_values=(colors, rank), input_kind=AdvanceIO.GRAPH,
+                    combine=Combine.MAX, with_frontier=False)
+        return (c > 0) & g.vertex_mask()
+
+    if not spray_enabled(g):
+        conflicted = dense(None)
+    else:
+        offs, deg = jax.lax.cond(
+            fvalid, lambda _: frontier_out_degree(g, fidx),
+            lambda _: (jnp.zeros(K, jnp.int32), jnp.zeros(K, jnp.int32)),
+            None)
+        take_spray = fvalid & (jnp.sum(deg) <= SPRAY_BUDGET)
+
+        def sparse(_):
+            # conflicts only involve last-round recolored vertices: spray
+            # their out-edges, scatter the higher-rank endpoint of every
+            # same-color pair (both directions covered: src expansion
+            # carries s, nb carries n)
+            e, nb, src_e, valid = spray_candidates(g, fidx, offs, deg,
+                                                   SPRAY_BUDGET,
+                                                   with_src=True)
+            same = valid & (colors[src_e] == colors[nb]) \
+                & (nb != src_e)
+            s_keeps = rank[src_e] < rank[nb]
+            hit_n = same & s_keeps
+            hit_s = same & ~s_keeps
+            c = jnp.zeros(vp, jnp.int8)
+            c = c.at[nb].max(hit_n.astype(jnp.int8), mode="drop")
+            c = c.at[src_e].max(hit_s.astype(jnp.int8), mode="drop")
+            return (c > 0) & g.vertex_mask()
+
+        conflicted = jax.lax.cond(take_spray, sparse, dense, None)
+
+    nc = jnp.where(conflicted,
+                   _hash_color(v_ids, deg_all, it + 1, seed), colors)
+    cnt = jnp.count_nonzero(conflicted)
+    fi2 = jax.lax.cond(
+        cnt <= K, lambda m: compact_frontier(m, K, g.pad_vertex),
+        lambda m: jnp.full(K, g.pad_vertex, jnp.int32), conflicted)
+    return SpecState(nc, conflicted, fi2, cnt <= K)
+
+
 def run(g: Graph, *, seed: int = 0, max_iterations: int | None = None,
-        warmup: bool = True) -> ColorResult:
+        warmup: bool = True, variant: str = "jp") -> ColorResult:
+    """variant: 'jp' (Jones-Plassmann 8-wave, reference parity) or 'spec'
+    (speculative recolor — ~log-round convergence, more colors)."""
     max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
-    res: EnactResult = enact(step, default_converged, g, init(g, seed),
-                             max_iterations=max_it, warmup=warmup)
+    if variant == "spec":
+        res: EnactResult = enact(step_spec, default_converged, g,
+                                 init_spec(g, seed),
+                                 max_iterations=max_it, warmup=warmup)
+        return ColorResult(res.state.colors[:g.n_vertices], res.iterations,
+                           res.elapsed_ms)
+    res = enact(step, default_converged, g, init(g, seed),
+                max_iterations=max_it, warmup=warmup)
     return ColorResult(res.state.colors[:g.n_vertices], res.iterations,
                        res.elapsed_ms)
 

@@ -171,3 +171,43 @@ def test_mst_grid_routed():
     res = mst.run(g, warmup=False)
     ref = mst.cpu_reference(csr)
     assert abs(res.total_weight - ref) < 1e-3 * max(abs(ref), 1.0)
+
+
+def test_color_spec_valid():
+    """Speculative recolor variant: zero conflicts, all colored."""
+    import numpy as np
+    from essentials_tpu.algorithms import color
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.io import generate
+    coo = generate.rmat(10, 8, seed=5, undirected=True, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False)
+    res = color.run(g, variant="spec", warmup=False)
+    assert color.validate(csr, np.asarray(res.colors)) == 0
+    n_colors = int(np.max(np.asarray(res.colors))) + 1
+    assert n_colors >= 1
+
+
+def test_problem_api_bfs_sssp():
+    """The OO Problem wrapper runs BFS/SSSP to the same results as the
+    functional API (reference problem_t/enactor_t shape)."""
+    import numpy as np
+    from essentials_tpu.framework.problem import BfsProblem, SsspProblem
+    from essentials_tpu.algorithms import bfs, sssp
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.io import generate
+    coo = generate.rmat(8, 8, seed=2, undirected=True, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=True)
+    res = BfsProblem(g, source=3).enact(warmup=False)
+    ref = bfs.cpu_reference(csr, 3)
+    assert np.array_equal(np.asarray(res.state.distances[:g.n_vertices]),
+                          ref)
+    res2 = SsspProblem(g, source=3).enact(warmup=False)
+    got = np.asarray(res2.state.distances[:g.n_vertices])
+    dref = sssp.cpu_reference(csr, 3)
+    fin = np.isfinite(dref)
+    assert np.array_equal(np.isfinite(got), fin)
+    np.testing.assert_allclose(got[fin], dref[fin], rtol=1e-5, atol=1e-5)
