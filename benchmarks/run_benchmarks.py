@@ -168,6 +168,9 @@ def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
     add("color", lambda: replay_ms(
         enact_body(A.color.step, default_converged, v1), g,
         A.color.init(g), sources, R=R))
+    add("color_spec", lambda: replay_ms(
+        enact_body(A.color.step_spec, default_converged, v1), g,
+        A.color.init_spec(g), sources, R=R))
     add("kcore", lambda: replay_ms(
         enact_body(A.kcore.step, A.kcore.converged, v1), g,
         A.kcore.init(g), sources, R=R))

@@ -290,14 +290,53 @@ def _run_fused_compiled(g, source, max_it):
     return FB.collapse_lev_exp(g, lev, source, unreached), it
 
 
+_auto_cache: dict = {}
+
+
+def _graph_key(g: Graph) -> tuple:
+    import jax as _jax
+    return (g.n_vertices_padded, g.n_edges_padded, g.symmetric_layout,
+            bool(g.properties.weighted), _jax.default_backend())
+
+
+def _auto_variant(g: Graph, source, max_it) -> str:
+    """Measured variant probe (VERDICT r2 #8): time one warm run of each
+    candidate and cache the winner keyed by graph shape. When the fused
+    engine is unsupported there is nothing to probe (adaptive only); when
+    it is supported, adaptive is excluded from the probe — its first
+    compile is ~10 min cold and it lost every measured A/B against the
+    fused path (rmat18: 7.4 vs 3.6 ms; road-grid: 393 vs 239 ms)."""
+    key = ("bfs",) + _graph_key(g)
+    v = _auto_cache.get(key)
+    if v is not None:
+        return v
+    if not fused_supported(g):
+        _auto_cache[key] = "adaptive"
+        return "adaptive"
+    import time as _time
+    best, best_t = None, float("inf")
+    for cand in ("fused", "hybrid"):
+        fn = _run_fused_compiled if cand == "fused" else _run_hybrid_compiled
+        int(fn(g, source, max_it)[1])              # compile + warm
+        t0 = _time.perf_counter()
+        int(fn(g, source, max_it)[1])
+        dt = _time.perf_counter() - t0
+        if dt < best_t:
+            best, best_t = cand, dt
+    _auto_cache[key] = best
+    return best
+
+
 def run(g: Graph, source: int, *, max_iterations: int | None = None,
         compute_predecessors: bool = True, warmup: bool = True,
-        variant: str = "adaptive") -> BfsResult:
-    """variant: 'adaptive' (3-tier spray/dense hybrid on the vertex axis),
-    'fused' (edge-axis dense supersteps), or 'hybrid' (edge-axis dense +
-    spray levels with on-device mode switching; symmetric graphs with
-    router plans — the fastest path)."""
+        variant: str = "auto") -> BfsResult:
+    """variant: 'auto' (measured probe, cached per graph shape),
+    'adaptive' (3-tier spray/dense hybrid on the vertex axis), 'fused'
+    (edge-axis dense supersteps), or 'hybrid' (edge-axis dense + spray
+    levels with on-device mode switching)."""
     max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
+    if variant == "auto":
+        variant = _auto_variant(g, source, max_it)
     if variant == "hybrid" and fused_supported(g):
         import time as _time
         if warmup:

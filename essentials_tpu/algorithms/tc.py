@@ -369,7 +369,10 @@ def _run_shift(csr: Csr, warmup: bool) -> TcResult:
     if not chunks:
         return TcResult(0, np.zeros(csr.n_rows, np.int32), 0.0)
     if warmup:
-        fence(_shift_chunk_count(wec_pad, pos_end, ekey, chunks[0]))
+        # every chunk is a distinct static program (its pass structure is
+        # a static arg): warm them ALL or the compiles land in the timing
+        for parts in chunks:
+            fence(_shift_chunk_count(wec_pad, pos_end, ekey, parts))
     total = 0
     t = Timer().begin()
     for parts in chunks:
