@@ -84,7 +84,7 @@ def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
     out = []
     floor = _dispatch_floor()
     print(f"  (dispatch floor {floor} ms)")
-    R = max(runs, 4)
+    R = max(runs, 2)
 
     def add(name, fn):
         if skip and name in skip:

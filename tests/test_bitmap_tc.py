@@ -62,3 +62,34 @@ def test_shift_variant_total_matches():
         res = tc.run(csr, warmup=False, variant="shift")
         assert res.total == ref_total, (seed, res.total, ref_total)
         assert tc.cpu_reference_total(csr) == ref_total
+
+
+def test_generic_intersection_operator():
+    """ops.intersect: counts + jaccard on arbitrary pair queries vs host
+    sets (reference get_intersection_count parity, csr.hxx:110-167)."""
+    import numpy as np
+    from essentials_tpu.ops import intersect
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.io import generate
+    coo = generate.rmat(8, 8, seed=9, undirected=True, weighted=False)
+    csr = Csr.from_coo(coo)
+    off = np.asarray(csr.row_offsets)
+    cols = np.asarray(csr.col_indices)
+    adj = [set(cols[off[i]:off[i + 1]].tolist())
+           for i in range(csr.n_rows)]
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, csr.n_rows, 64)
+    v = rng.integers(0, csr.n_rows, 64)
+    got, wit = intersect.intersection_counts(csr, u, v, witnesses=True)
+    ref = np.array([len(adj[a] & adj[b]) for a, b in zip(u, v)])
+    assert np.array_equal(got, ref)
+    # witness histogram: per-vertex membership count over all pairs
+    wref = np.zeros(csr.n_rows, np.int64)
+    for a, b in zip(u, v):
+        for c in adj[a] & adj[b]:
+            wref[c] += 1
+    assert np.array_equal(wit, wref)
+    j = intersect.jaccard(csr, u, v)
+    jref = np.array([len(adj[a] & adj[b]) / max(len(adj[a] | adj[b]), 1)
+                     for a, b in zip(u, v)])
+    np.testing.assert_allclose(j, jref, rtol=1e-12)
