@@ -111,6 +111,16 @@ def replay_ms(body, g, state0, seeds, *, R: int = 8, cycles: int = 3):
 
     timed(1)
     timed(R)
+    t1p, _ = timed(1)
+    tRp, _ = timed(R)
+    # adaptive replay count: (t_R - t_1) must dominate the tunnel's RTT
+    # jitter (~1-3 ms) or the subtraction is noise — scale R until the
+    # amortized signal is >= ~30 ms (fast bodies at small graphs would
+    # otherwise report garbage like [1.87, 0.0, 0.11] ms cycles)
+    signal = max(tRp - t1p, 1e-3)
+    if signal < 30.0 and R < 128:
+        R = min(128, max(R, int((R - 1) * 30.0 / signal) + 1))
+        timed(R)
     cyc = []
     iters = 0
     for _ in range(cycles):
