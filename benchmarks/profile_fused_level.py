@@ -35,7 +35,7 @@ def replay_time(make_body, x0):
     def timed(n):
         t0 = time.perf_counter()
         out = run(x0, n)
-        jax.block_until_ready(out)
+        _ = float(np.asarray(out).reshape(-1)[0])   # value-fetch fence
         return (time.perf_counter() - t0) * 1e3
 
     timed(1); timed(R)

@@ -174,6 +174,15 @@ def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
     add("kcore", lambda: replay_ms(
         enact_body(A.kcore.step, A.kcore.converged, v1), g,
         A.kcore.init(g), sources, R=R))
+    if A.kcore.fused_supported(g):
+        from essentials_tpu.ops.fused_kcore import run_fused_kcore
+
+        def kcore_fused_body(g, _, s):
+            core, it = run_fused_kcore(g, 4 * g.n_vertices + 8)
+            return (core + (s >> 31),), it
+
+        add("kcore_fused", lambda: replay_ms(kcore_fused_body, g, None,
+                                             sources, R=R))
     add("hits", lambda: replay_ms(
         enact_body(A.hits.step, A.hits.converged, 50), g, A.hits.init(g),
         sources, R=R))

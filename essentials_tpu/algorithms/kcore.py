@@ -97,9 +97,38 @@ def converged(g: Graph, state: KcoreState, it) -> jax.Array:
     return jnp.logical_not(jnp.any(state.alive))
 
 
+def fused_supported(g: Graph) -> bool:
+    return bool(g.symmetric_layout and g.route_fwd is not None
+                and g.off_route_csr is not None)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1,))
+def _run_fused_compiled(g, max_it):
+    from essentials_tpu.ops.fused_kcore import run_fused_kcore
+    return run_fused_kcore(g, max_it)
+
+
 def run(g: Graph, *, max_iterations: int | None = None,
-        warmup: bool = True) -> KcoreResult:
+        warmup: bool = True, variant: str = "auto") -> KcoreResult:
+    """variant: 'auto' (fused when supported), 'fused' (edge-axis 3-kernel
+    peel waves, ops/fused_kcore.py), or 'adaptive' (vertex-axis sweeps
+    with spray)."""
     max_it = max_iterations if max_iterations is not None else 4 * g.n_vertices + 8
+    if variant == "auto":
+        variant = "fused" if fused_supported(g) else "adaptive"
+    if variant == "fused" and fused_supported(g):
+        import time as _time
+        if warmup:
+            int(_run_fused_compiled(g, max_it)[1])
+        t0 = _time.perf_counter()
+        core, it = _run_fused_compiled(g, max_it)
+        it_val = int(it)
+        jax.block_until_ready(core)
+        elapsed = (_time.perf_counter() - t0) * 1e3
+        return KcoreResult(core[:g.n_vertices], it_val, elapsed)
     res: EnactResult = enact(step, converged, g, init(g),
                              max_iterations=max_it, warmup=warmup)
     return KcoreResult(res.state.core[:g.n_vertices], res.iterations,

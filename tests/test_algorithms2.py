@@ -211,3 +211,25 @@ def test_problem_api_bfs_sssp():
     fin = np.isfinite(dref)
     assert np.array_equal(np.isfinite(got), fin)
     np.testing.assert_allclose(got[fin], dref[fin], rtol=1e-5, atol=1e-5)
+
+
+def test_kcore_fused_matches_reference():
+    """Fused edge-axis peel waves vs the host peeling reference."""
+    import numpy as np
+    from essentials_tpu.algorithms import kcore
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.io import generate
+    for spec in [("rmat", 9, 8, 3), ("grid", 20, 0, 0)]:
+        if spec[0] == "rmat":
+            coo = generate.rmat(spec[1], spec[2], seed=spec[3],
+                                undirected=True, weighted=False)
+        else:
+            coo = generate.grid_2d(spec[1], weighted=False)
+        csr = Csr.from_coo(coo)
+        g = build_graph(csr, directed=False, weighted=False,
+                        build_router=True)
+        assert kcore.fused_supported(g)
+        res = kcore.run(g, warmup=False, variant="fused")
+        ref = kcore.cpu_reference(csr)
+        assert np.array_equal(np.asarray(res.core), ref), spec
