@@ -77,7 +77,8 @@ def main(argv=None):
         if args.validate:
             errors = compare(res.distances, A.bfs.cpu_reference(csr, args.source))
     elif name == "sssp":
-        res, ms = timed(A.sssp.run, g, args.source)
+        kw = {"variant": args.variant} if args.variant else {}
+        res, ms = timed(A.sssp.run, g, args.source, **kw)
         if args.validate:
             errors = compare(res.distances, A.sssp.cpu_reference(csr, args.source))
     elif name == "pr":
@@ -99,11 +100,13 @@ def main(argv=None):
                                                 normalize_undirected=False),
                              atol=1e-3, rtol=1e-3)
     elif name == "color":
-        res, ms = timed(A.color.run, g)
+        kw = {"variant": args.variant} if args.variant else {}
+        res, ms = timed(A.color.run, g, **kw)
         if args.validate:
             errors = A.color.validate(csr, res.colors)
     elif name == "kcore":
-        res, ms = timed(A.kcore.run, g)
+        kw = {"variant": args.variant} if args.variant else {}
+        res, ms = timed(A.kcore.run, g, **kw)
         if args.validate:
             errors = compare(res.core, A.kcore.cpu_reference(csr))
     elif name == "hits":
