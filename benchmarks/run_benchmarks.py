@@ -122,20 +122,32 @@ def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
         return body
 
     # --- traversal (source-seeded) ---
-    add("bfs", lambda: replay_ms(
-        src_body(A.bfs.init, A.bfs.step), g, None, sources, R=R))
+    # bfs first, capturing its search depth: the fused/hybrid bodies pick
+    # max_it = 126 (byte-SWAR ladders) when the depth fits a byte, else
+    # the exact V+1 bound (int32 ladders) — a 64 cap silently truncated
+    # high-diameter graphs (road grids run ~1000 levels)
+    bfs_iters = [0]
+
+    def _bfs_row():
+        ms, iters, cycles = replay_ms(
+            src_body(A.bfs.init, A.bfs.step), g, None, sources, R=R)
+        bfs_iters[0] = iters
+        return ms, iters, cycles
+
+    add("bfs", _bfs_row)
+    max_fused = 126 if 0 < bfs_iters[0] <= 120 else v1
     if A.bfs.fused_supported(g):
         from essentials_tpu.ops import fused_bfs as FB
 
         def bfs_fused_body(g, _, s):
-            lev, it, unreached = A.bfs.run_fused_levels(g, s, 64)
+            lev, it, unreached = A.bfs.run_fused_levels(g, s, max_fused)
             return (FB.collapse_lev_exp(g, lev, s, unreached),), it
 
         add("bfs_fused", lambda: replay_ms(bfs_fused_body, g, None,
                                            sources, R=R))
 
         def bfs_hybrid_body(g, _, s):
-            dist, it = A.bfs.run_hybrid_levels(g, s, 64)
+            dist, it = A.bfs.run_hybrid_levels(g, s, max_fused)
             return (dist,), it
 
         add("bfs_hybrid", lambda: replay_ms(bfs_hybrid_body, g, None,
@@ -232,11 +244,16 @@ def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
                 plan_s = _time.perf_counter() - t0
                 av = jnp.asarray(np.asarray(csr.values, np.float32))
 
-                def spgemm_body(g, av, s):
-                    return (SG.numeric(plan, guard(av, s), av),), jnp.int32(1)
+                # the plan must ride as a jit ARGUMENT: closing over it
+                # bakes its index arrays into the program as constants
+                # (HTTP 413 on remote-compile upload at ~100M products)
+                def spgemm_body(g, st, s):
+                    pl_, av_ = st
+                    return (SG.numeric(pl_, guard(av_, s), av_),), \
+                        jnp.int32(1)
 
-                ms, iters, cycles = replay_ms(spgemm_body, g, av, sources,
-                                              R=R)
+                ms, iters, cycles = replay_ms(spgemm_body, g, (plan, av),
+                                              sources, R=R)
                 st = collect_stats("spgemm", ds, g, ms, 1, cycles_ms=cycles,
                                    edges_visited=products)
                 rec = json.loads(st.to_json())
