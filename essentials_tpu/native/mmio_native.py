@@ -29,6 +29,9 @@ def _load_lib():
     global _lib
     if _lib is None:
         if not os.path.exists(_SO):
+            from essentials_tpu.ops.permute import _build_lib
+            _build_lib()        # one `make` builds both native libraries
+        if not os.path.exists(_SO):
             raise ImportError(f"native mmio library not built ({_SO}); "
                               "run: make -C essentials_tpu/native")
         _lib = ctypes.CDLL(_SO)

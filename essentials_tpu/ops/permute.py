@@ -43,10 +43,31 @@ _SO = os.path.join(os.path.dirname(__file__), "..", "native",
 _lib = None
 
 
+def _build_lib() -> bool:
+    """Build the native router in place (fresh checkouts ship sources, not
+    .so artifacts). One `make` invocation, serialized by an exclusive
+    lockfile so parallel test workers don't race the compiler."""
+    import subprocess
+    native_dir = os.path.dirname(os.path.abspath(_SO))
+    try:
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lk:
+            try:
+                import fcntl
+                fcntl.flock(lk, fcntl.LOCK_EX)
+            except ImportError:
+                pass
+            if not os.path.exists(_SO):
+                subprocess.run(["make", "-C", native_dir], check=True,
+                               capture_output=True, timeout=300)
+    except Exception:
+        return False
+    return os.path.exists(_SO)
+
+
 def _load_lib():
     global _lib
     if _lib is None:
-        if not os.path.exists(_SO):
+        if not os.path.exists(_SO) and not _build_lib():
             raise ImportError(
                 f"native router not built ({_SO}); run: make -C essentials_tpu/native")
         _lib = ctypes.CDLL(_SO)
