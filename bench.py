@@ -66,6 +66,10 @@ def main():
                     dist, it = bfs.run_hybrid_levels(g, sources[i % RUNS],
                                                      max_it)
                     return acc + jnp.sum(dist[:256] % 97) + it, it
+                if variant == "phased":
+                    dist, it = bfs.run_phased_levels(g, sources[i % RUNS],
+                                                     max_it)
+                    return acc + jnp.sum(dist[:256] % 97) + it, it
                 if variant == "fused":
                     from essentials_tpu.ops import fused_bfs as FB
                     lev, it, unreached = bfs.run_fused_levels(
@@ -89,7 +93,7 @@ def main():
     # candidate variants, fastest-expected first; adaptive is probed only
     # when the fused engine is unavailable (its first compile is ~10 min
     # cold — never pay that when a supported faster path exists)
-    variants = (["fused", "hybrid"] if bfs.fused_supported(g)
+    variants = (["fused", "phased", "hybrid"] if bfs.fused_supported(g)
                 else ["adaptive"])
 
     def make_timed(replay):

@@ -152,6 +152,13 @@ def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
 
         add("bfs_hybrid", lambda: replay_ms(bfs_hybrid_body, g, None,
                                             sources, R=R))
+
+        def bfs_phased_body(g, _, s):
+            dist, it = A.bfs.run_phased_levels(g, s, max_fused)
+            return (dist,), it
+
+        add("bfs_phased", lambda: replay_ms(bfs_phased_body, g, None,
+                                            sources, R=R))
     add("sssp", lambda: replay_ms(
         src_body(A.sssp.init, A.sssp.step), g, None, sources, R=R))
     if A.sssp.fused_supported(g):

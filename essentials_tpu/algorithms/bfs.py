@@ -269,6 +269,162 @@ def _run_hybrid_compiled(g, source, max_it):
     return run_hybrid_levels(g, source, max_it)
 
 
+def run_phased_levels(g: Graph, source, max_it, spray_override=None):
+    """Whole BFS as a PHASE-SPLIT pipeline: spray loop A -> dense fused
+    loop B -> spray loop C -> safety dense loop D, each its own
+    while_loop with transitions between them.
+
+    run_hybrid_levels switches mode per level inside ONE while_loop; the
+    lax.switch there carries the full edge-axis state through every level
+    and measured ~4 ms/level of overhead at rmat18 (STATUS r3) — 5.7x the
+    0.72 ms fused superstep itself. Here each loop carries only the state
+    its phase needs (spray loops never touch the [Ep] array; the dense
+    loop's body IS the bare 3-kernel superstep), and the transitions —
+    one routed expand (vertex->edge) into B/D, one collapse out — run
+    once per phase boundary instead of once per level.
+
+    Phase flow (go codes: 0 done, 1 still-running/max_it, 2 hand over):
+      A sprays while the frontier's out-degree sum fits HYBRID_BUDGET;
+      B runs dense supersteps until the newly-vertex count drops under a
+        degree-scaled tail threshold (then hands the tail to C) or zero;
+      C sprays the tail to completion; if the frontier regrows, D (dense,
+        no tail exit) finishes. Distances found by dense levels are
+        min-merged from the edge axis exactly once, and only on the paths
+        where they are stale.
+
+    Reference parity: direction-cost adaptation of enactor-driven BFS
+    (bfs.hxx:110-178) — see docs/performance.md on why pull/push
+    direction itself is moot for this engine. Returns (dist, iterations).
+    """
+    from essentials_tpu.ops import fused_bfs as FB
+    from essentials_tpu.ops.segment import expand_vertex_to_edges_routed
+    from essentials_tpu.ops.sparse_advance import (
+        spray_reach, frontier_out_degree, compact_frontier, spray_enabled)
+
+    K = HYBRID_K
+    vp = g.n_vertices_padded
+    pad = g.pad_vertex
+    use_spray = spray_enabled(g) if spray_override is None else \
+        spray_override
+
+    swar = _swar_mode(g, max_it)
+    unreached_e = FB.UNREACHED_E if swar else FB.UNREACHED
+    fp = (FB.pack_flags(g.csc_seg_flags, g.route_fwd.length)
+          if swar else None)
+
+    # dense->spray handoff: exit B when the newly count suggests the next
+    # level's edge work fits the spray budget (C re-checks the real
+    # degree sum and falls through to D when the estimate was wrong —
+    # stragglers usually sit well below the average degree, hence the 4x)
+    avg_deg = max(1, g.n_edges_padded // max(vp, 1))
+    tail_cnt = max(256, min(K, (4 * HYBRID_BUDGET) // avg_deg))
+
+    dist0 = jnp.full(vp, UNREACHED, jnp.int32).at[source].set(0)
+    fidx0 = jnp.full(K, pad, jnp.int32).at[0].set(source)
+
+    def spray_loop(dist, fidx, it, go0):
+        """go: 1 run, 0 done, 2 frontier outgrew the budget."""
+        def cond(c):
+            return (c[2] == 1) & (c[3] < max_it)
+
+        def body(c):
+            dist, fidx, _, it = c
+            offs, deg = frontier_out_degree(g, fidx)
+
+            def do(_):
+                newly, nidx, nc = spray_reach(g, fidx, offs, deg,
+                                              dist == UNREACHED,
+                                              HYBRID_BUDGET, K)
+                dist2 = jnp.where(newly, it + 1, dist)
+                return (dist2, nidx,
+                        jnp.where(nc == 0, 0, 1).astype(jnp.int32), it + 1)
+
+            def bail(_):
+                return dist, fidx, jnp.int32(2), it
+
+            return jax.lax.cond(jnp.sum(deg) <= HYBRID_BUDGET, do, bail,
+                                None)
+
+        return jax.lax.while_loop(cond, body, (dist, fidx, go0, it))
+
+    def to_edge_axis(dist):
+        lev_v = (jnp.where(dist == UNREACHED, unreached_e, dist)
+                 if swar else dist)
+        return expand_vertex_to_edges_routed(lev_v, g.off_route_csr)
+
+    def dense_loop(lev, it, go0, tail_exit):
+        """go: 1 run, 0 done, 2 tail handed to spray."""
+        def cond(c):
+            return (c[1] == 1) & (c[2] < max_it)
+
+        def body(c):
+            lev, _, it = c
+            if swar:
+                lev2, cnt2 = FB.fused_superstep2(g, lev, it, swar=True,
+                                                 fp=fp)
+            else:
+                lev2, cnt2 = FB.fused_superstep(g, lev, it,
+                                                unreached=unreached_e)
+            cnt = cnt2[0, 0]
+            go = jnp.where(cnt == 0, 0,
+                           jnp.where(tail_exit & (cnt <= tail_cnt), 2, 1))
+            return lev2, go.astype(jnp.int32), it + 1
+
+        return jax.lax.while_loop(cond, body, (lev, go0, it))
+
+    # ---- A: spray from the source ----
+    go_a0 = jnp.where(jnp.asarray(use_spray), 1, 2).astype(jnp.int32)
+    dist, fidx, go_a, it = spray_loop(dist0, fidx0, jnp.int32(0), go_a0)
+
+    # ---- B: dense supersteps with tail exit ----
+    enter_b = go_a == 2
+    lev = jax.lax.cond(
+        enter_b, lambda d: to_edge_axis(d),
+        lambda d: jnp.full(g.n_edges_padded, unreached_e, jnp.int32), dist)
+    lev, go_b, it = dense_loop(
+        lev, it, jnp.where(enter_b, 1, 0).astype(jnp.int32),
+        jnp.asarray(use_spray))
+
+    # ---- B -> C: collapse + compact, only on the tail handoff ----
+    def b_to_c(args):
+        lev, dist, it = args
+        dist2 = jnp.minimum(dist, FB.collapse_lev_exp(
+            g, lev, source, unreached_e)[:vp])
+        fidx2 = compact_frontier(dist2 == it, K, pad)
+        return dist2, fidx2
+
+    dist, fidx = jax.lax.cond(
+        go_b == 2, b_to_c, lambda a: (a[1], jnp.full(K, pad, jnp.int32)),
+        (lev, dist, it))
+
+    # ---- C: spray the tail ----
+    dist, fidx, go_c, it = spray_loop(
+        dist, fidx, it, jnp.where(go_b == 2, 1, 0).astype(jnp.int32))
+
+    # ---- D: safety dense run to completion (tail regrew) ----
+    enter_d = go_c == 2
+    lev = jax.lax.cond(enter_d, lambda a: to_edge_axis(a[1]),
+                       lambda a: a[0], (lev, dist))
+    lev, go_d, it = dense_loop(
+        lev, it, jnp.where(enter_d, 1, 0).astype(jnp.int32),
+        jnp.asarray(False))
+
+    # ---- final merge: dense-found levels are stale in dist unless the
+    # B->C transition already merged them and D never ran ----
+    need = enter_b & jnp.logical_not((go_b == 2) & jnp.logical_not(enter_d))
+    dist = jax.lax.cond(
+        need,
+        lambda a: jnp.minimum(a[1], FB.collapse_lev_exp(
+            g, a[0], source, unreached_e)[:vp]),
+        lambda a: a[1], (lev, dist))
+    return dist, it
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _run_phased_compiled(g, source, max_it):
+    return run_phased_levels(g, source, max_it)
+
+
 def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:
     """pred[v] = smallest-id in-neighbor one BFS level up (-1 at source /
     unreached). One full-graph advance (MIN)."""
@@ -315,8 +471,9 @@ def _auto_variant(g: Graph, source, max_it) -> str:
         return "adaptive"
     import time as _time
     best, best_t = None, float("inf")
-    for cand in ("fused", "hybrid"):
-        fn = _run_fused_compiled if cand == "fused" else _run_hybrid_compiled
+    for cand in ("fused", "phased", "hybrid"):
+        fn = {"fused": _run_fused_compiled, "phased": _run_phased_compiled,
+              "hybrid": _run_hybrid_compiled}[cand]
         int(fn(g, source, max_it)[1])              # compile + warm
         t0 = _time.perf_counter()
         int(fn(g, source, max_it)[1])
@@ -332,17 +489,20 @@ def run(g: Graph, source: int, *, max_iterations: int | None = None,
         variant: str = "auto") -> BfsResult:
     """variant: 'auto' (measured probe, cached per graph shape),
     'adaptive' (3-tier spray/dense hybrid on the vertex axis), 'fused'
-    (edge-axis dense supersteps), or 'hybrid' (edge-axis dense + spray
-    levels with on-device mode switching)."""
+    (edge-axis dense supersteps), 'hybrid' (edge-axis dense + spray
+    levels with on-device per-level mode switching), or 'phased'
+    (spray/dense/spray/dense phase-split pipeline)."""
     max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
     if variant == "auto":
         variant = _auto_variant(g, source, max_it)
-    if variant == "hybrid" and fused_supported(g):
+    if variant in ("hybrid", "phased") and fused_supported(g):
         import time as _time
+        fn = (_run_hybrid_compiled if variant == "hybrid"
+              else _run_phased_compiled)
         if warmup:
-            int(_run_hybrid_compiled(g, source, max_it)[1])
+            int(fn(g, source, max_it)[1])
         t0 = _time.perf_counter()
-        dist, it = _run_hybrid_compiled(g, source, max_it)
+        dist, it = fn(g, source, max_it)
         it_val = int(it)
         jax.block_until_ready(dist)
         elapsed = (_time.perf_counter() - t0) * 1e3

@@ -138,3 +138,34 @@ def test_hybrid_grid_graph():
                                         spray_override=True))(0)
     ref = bfs.cpu_reference(csr, 0)
     assert np.array_equal(np.asarray(dist)[:csr.n_rows], ref)
+
+
+def test_phased_bfs_matches_reference(g_rmat):
+    """Phase-split driver (spray loop A / dense B / spray tail C / dense
+    safety D): exact distances for both spray-enabled and dense-only
+    trajectories."""
+    import jax
+    csr, g = g_rmat
+    for src in (0, 5, 100):
+        for force in (True, False):
+            dist, it = jax.jit(
+                lambda s: bfs.run_phased_levels(g, s, 64,
+                                                spray_override=force))(src)
+            ref = bfs.cpu_reference(csr, src)
+            assert np.array_equal(np.asarray(dist)[:csr.n_rows], ref), \
+                (src, force)
+
+
+def test_phased_grid_graph():
+    """High-diameter graph: the A loop alone must run to completion."""
+    import jax
+    coo = generate.grid_2d(24, weighted=False)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=False, weighted=False, build_router=True)
+    if not bfs.fused_supported(g):
+        pytest.skip("tiny graph: no router plans")
+    dist, it = jax.jit(
+        lambda s: bfs.run_phased_levels(g, s, 2000,
+                                        spray_override=True))(0)
+    ref = bfs.cpu_reference(csr, 0)
+    assert np.array_equal(np.asarray(dist)[:csr.n_rows], ref)
