@@ -267,7 +267,9 @@ def _run_sorted(csr: Csr, warmup: bool) -> TcResult:
 # graph/csr.hxx:110-167 + tc.hxx:75-93 at whole-graph scale where the
 # per-edge bitmap/dense engines cannot reach.
 
-_SHIFT_CHUNK = 1 << 27
+_SHIFT_CHUNK = 1 << 28        # slots per device sort (~2.1 GB of records;
+#                               fewer, larger sorts amortize the per-chunk
+#                               dispatch + edge-record re-sort cost)
 _shift_cache: dict = {}
 
 
@@ -373,12 +375,16 @@ def _run_shift(csr: Csr, warmup: bool) -> TcResult:
         # a static arg): warm them ALL or the compiles land in the timing
         for parts in chunks:
             fence(_shift_chunk_count(wec_pad, pos_end, ekey, parts))
-    total = 0
+    # dispatch ALL chunks asynchronously, fetch once at the end: per-chunk
+    # int() syncs would serialize every dispatch behind the tunneled RTT.
+    # Host-side Python summation keeps the total exact past 2^31 (each
+    # chunk's own count fits int32 by construction: found <= chunk slots).
     t = Timer().begin()
-    for parts in chunks:
-        total += int(_shift_chunk_count(wec_pad, pos_end, ekey, parts))
+    parts_counts = [_shift_chunk_count(wec_pad, pos_end, ekey, parts)
+                    for parts in chunks]
+    total = sum(int(c) for c in parts_counts)
     ms = t.end()
-    return TcResult(int(total), np.zeros(csr.n_rows, np.int32), ms)
+    return TcResult(total, np.zeros(csr.n_rows, np.int32), ms)
 
 
 def cpu_reference_total(csr) -> int:
