@@ -63,7 +63,8 @@ def _dispatch_floor() -> float:
     return round(float(np.median(floors)), 3)
 
 
-def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
+def bench_graph(path: str, runs: int, skip: set | None = None,
+                flush=None) -> list[dict]:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -103,6 +104,8 @@ def bench_graph(path: str, runs: int, skip: set | None = None) -> list[dict]:
         except Exception as e:  # keep the suite running
             print(f"  {name:10s} FAILED: {type(e).__name__}: {e}")
             out.append({"algorithm": name, "dataset": ds, "error": str(e)})
+        if flush is not None:
+            flush(out)
 
     def src_body(init_fn, step_fn, conv_fn=default_converged,
                  max_it=None):
@@ -317,9 +320,18 @@ def main(argv=None):
 
     skip = {s for s in args.skip.split(",") if s}
     results = []
+
+    def flush(rows):
+        """Write after every row: a killed/timed-out run keeps its rows
+        (compiles are disk-cached, so a rerun fast-forwards)."""
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results + rows, f, indent=1)
+
     for path in args.graphs:
         print(f"== {path} ==")
-        results.extend(bench_graph(path, args.runs, skip))
+        results.extend(bench_graph(path, args.runs, skip,
+                                   flush=flush if args.out else None))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
