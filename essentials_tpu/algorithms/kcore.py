@@ -22,7 +22,7 @@ from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
     spray_enabled, compact_frontier, frontier_out_degree, spray_candidates,
-    SPRAY_BUDGET, SPRAY_K)
+    spray_dedup, SPRAY_BUDGET, SPRAY_K, TINY_BUDGET, TINY_K)
 
 
 class KcoreState(NamedTuple):
@@ -30,6 +30,8 @@ class KcoreState(NamedTuple):
     degrees: jax.Array      # int32[Vp] remaining degree
     alive: jax.Array        # bool[Vp]
     k: jax.Array            # current peeling level
+    fidx: jax.Array         # int32[SPRAY_K] peel-candidate tracking list
+    fvalid: jax.Array       # bool: fidx is a superset of the next peel set
 
 
 class KcoreResult(NamedTuple):
@@ -41,7 +43,9 @@ class KcoreResult(NamedTuple):
 def init(g: Graph) -> KcoreState:
     deg = jnp.where(g.vertex_mask(), g.out_degrees(), 0).astype(jnp.int32)
     core = jnp.zeros(g.n_vertices_padded, jnp.int32)
-    return KcoreState(core, deg, g.vertex_mask(), jnp.asarray(1, jnp.int32))
+    return KcoreState(core, deg, g.vertex_mask(), jnp.asarray(1, jnp.int32),
+                      jnp.full(SPRAY_K, g.pad_vertex, jnp.int32),
+                      jnp.asarray(False))
 
 
 def step(g: Graph, state: KcoreState, it) -> KcoreState:
@@ -49,48 +53,87 @@ def step(g: Graph, state: KcoreState, it) -> KcoreState:
     min(remaining degree)+1 (collapsing the reference's one-at-a-time
     k bumps, kcore.hxx:158-178); small peel sets run the budgeted spray
     path (O(sum of peeled degrees), degree-skew tolerant) instead of the
-    dense O(E) advance."""
-    core, deg, alive, k = state
+    dense O(E) advance.
+
+    Candidate tracking (round 3): within one k level, the next wave's
+    peel set is a subset of the current wave's touched neighbors — the
+    spray branch already holds that set (``nb``), so it dedups it into a
+    tracking list and the NEXT sparse wave filters the list instead of
+    paying compact_frontier's [Vp]-sized sort (~1 ms at V=1M, formerly
+    once per wave — the dominant per-wave cost of the 814-wave rmat20
+    run). The full compaction remains only where the subset argument
+    breaks: after a k bump and after a dense wave."""
+    core, deg, alive, k, fidx, fvalid = state
     vp = g.n_vertices_padded
+    pad = g.pad_vertex
     peel = alive & (deg < k)
     # removed vertices get core number k-1
     core = jnp.where(peel, k - 1, core)
     alive = alive & ~peel
 
+    nofidx = jnp.full(SPRAY_K, pad, jnp.int32)
+
     def dense(_):
         out = advance(g, lambda e: 1, peel,
                       combine=Combine.SUM, with_frontier=False)
-        return out.astype(jnp.int32)
+        return out.astype(jnp.int32), nofidx, jnp.asarray(False)
 
     def skip(_):
-        return jnp.zeros(vp, jnp.int32)
+        return jnp.zeros(vp, jnp.int32), nofidx, jnp.asarray(False)
 
     cnt = jnp.count_nonzero(peel)
     if spray_enabled(g):
-        def sparse(_):
-            idx = compact_frontier(peel, SPRAY_K, g.pad_vertex)
-            offs, d0 = frontier_out_degree(g, idx)
-            _, nb, _, valid = spray_candidates(g, idx, offs, d0,
-                                               SPRAY_BUDGET)
-            return jnp.zeros(vp, jnp.int32).at[nb].add(
-                valid.astype(jnp.int32), mode="drop")
+        def spray_tier(budget, kk):
+            """Budget-tiered spray wave: gather/sort costs scale with the
+            tier's budget, so the many late-cascade waves that peel a
+            handful of vertices run the tiny tier (~5x cheaper fixed
+            costs), like bfs.step's 3-way ladder."""
+            def go(_):
+                idx = jax.lax.cond(
+                    fvalid,
+                    lambda: spray_dedup(fidx[:kk], peel[fidx[:kk]], kk,
+                                        pad)[1],
+                    lambda: compact_frontier(peel, kk, pad))
+                offs, d0 = frontier_out_degree(g, idx)
+                _, nb, _, valid = spray_candidates(g, idx, offs, d0,
+                                                   budget)
+                removed = jnp.zeros(vp, jnp.int32).at[nb].add(
+                    valid.astype(jnp.int32), mode="drop")
+                # track the touched neighbors for the next wave's filter
+                _, nidx, ncnt = spray_dedup(nb, valid, kk, pad)
+                if kk < SPRAY_K:
+                    nidx = jnp.concatenate(
+                        [nidx, jnp.full(SPRAY_K - kk, pad, jnp.int32)])
+                return removed, nidx, ncnt <= kk
+            return go
 
         # spray gate: the peeled vertices' ORIGINAL out-edges must fit the
-        # budget (peeled degree < k only counts surviving neighbors)
+        # budget (peeled degree < k only counts surviving neighbors).
+        # The tiny tier additionally requires a currently-valid tracking
+        # list that fits its index capacity (the filter gather is
+        # kk-sized, so an un-tracked wave must pay the full compaction
+        # at SPRAY_K anyway).
         deg0 = g.out_degrees()
         sumdeg = jnp.sum(jnp.where(peel, deg0, 0))
+        tiny_ok = fvalid & (cnt <= TINY_K) & (sumdeg <= TINY_BUDGET) & \
+            jnp.all(fidx[TINY_K:] == pad)
         branch = jnp.where(cnt == 0, 0,
-                           jnp.where((cnt <= SPRAY_K)
-                                     & (sumdeg <= SPRAY_BUDGET), 1, 2))
-        removed_nbrs = jax.lax.switch(branch.astype(jnp.int32),
-                                      [skip, sparse, dense], None)
+                           jnp.where(tiny_ok, 1,
+                                     jnp.where((cnt <= SPRAY_K)
+                                               & (sumdeg <= SPRAY_BUDGET),
+                                               2, 3)))
+        removed_nbrs, fidx, fvalid = jax.lax.switch(
+            branch.astype(jnp.int32),
+            [skip, spray_tier(TINY_BUDGET, TINY_K),
+             spray_tier(SPRAY_BUDGET, SPRAY_K), dense], None)
     else:
-        removed_nbrs = jax.lax.cond(cnt == 0, skip, dense, None)
+        removed_nbrs, fidx, fvalid = jax.lax.cond(cnt == 0, skip, dense,
+                                                  None)
     deg = deg - removed_nbrs
     # empty sweep: jump k past the levels no vertex can peel at
     min_alive_deg = jnp.min(jnp.where(alive, deg, jnp.iinfo(jnp.int32).max))
     k = jnp.where(cnt > 0, k, jnp.maximum(k + 1, min_alive_deg + 1))
-    return KcoreState(core, deg, alive, k)
+    return KcoreState(core, deg, alive, k, fidx, fvalid)
 
 
 def converged(g: Graph, state: KcoreState, it) -> jax.Array:
