@@ -64,13 +64,39 @@ def main():
 
     av = jnp.asarray(np.asarray(a.values, np.float32))
     bv = jnp.asarray(np.asarray(at.values, np.float32))
-    fence(spgemm.numeric(plan, av, bv))
+
+    # amortized replay (same protocol as run_benchmarks.py): R numeric
+    # phases inside ONE jitted fori_loop with a value guard between
+    # iterations, single scalar fetch — otherwise the tunneled runtime's
+    # per-dispatch RTT (~25 ms) dwarfs the microseconds of device time a
+    # 96x96 matrix needs
+    R = 4096
+    from functools import partial
+
+    try:
+        from benchmarks.replay import guard
+    except ModuleNotFoundError:
+        from replay import guard
+
+    @partial(jax.jit, static_argnums=(3,))
+    def replay(plan, av, bv, R):
+        def one(i, acc):
+            out = spgemm.numeric(plan, guard(av, i), bv)
+            return acc + jnp.sum(out[:8])
+        return jax.lax.fori_loop(0, R, one, jnp.float32(0))
+
+    def timed(n):
+        t1 = time.perf_counter()
+        float(replay(plan, av, bv, n))
+        return (time.perf_counter() - t1) * 1e3
+
+    timed(1)
+    timed(R)
     cycles = []
     for _ in range(7):
-        t1 = time.perf_counter()
-        out = spgemm.numeric(plan, av, bv)
-        float(jnp.sum(out[:8]))
-        cycles.append((time.perf_counter() - t1) * 1e3)
+        t1 = timed(1)
+        tR = timed(R)
+        cycles.append(max((tR - t1) / (R - 1), 1e-6))
     med = float(np.median(cycles))
     # useful bytes: read both value arrays + write C values + the flop
     # inputs the products touch (one a-val + one b-val read per product)
