@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -187,12 +188,22 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
     add("pr", lambda: replay_ms(
         enact_body(A.pr.step, A.pr.converged, v1), g, A.pr.init(g),
         sources, R=R))
-    add("color", lambda: replay_ms(
+    # headline `color` row mirrors color.run(variant="auto"): spec above
+    # the spray threshold (JP's dense-sweep x round-count cost explodes
+    # there — 8.3 s vs 206 ms at rmat20), JP below it. `color_jp` keeps the
+    # reference-parity formulation measurable everywhere.
+    from essentials_tpu.ops.sparse_advance import spray_enabled
+    if spray_enabled(g):
+        add("color", lambda: replay_ms(
+            enact_body(A.color.step_spec, default_converged, v1), g,
+            A.color.init_spec(g), sources, R=R))
+    else:
+        add("color", lambda: replay_ms(
+            enact_body(A.color.step, default_converged, v1), g,
+            A.color.init(g), sources, R=R))
+    add("color_jp", lambda: replay_ms(
         enact_body(A.color.step, default_converged, v1), g,
         A.color.init(g), sources, R=R))
-    add("color_spec", lambda: replay_ms(
-        enact_body(A.color.step_spec, default_converged, v1), g,
-        A.color.init_spec(g), sources, R=R))
     add("kcore", lambda: replay_ms(
         enact_body(A.kcore.step, A.kcore.converged, v1), g,
         A.kcore.init(g), sources, R=R))
@@ -323,10 +334,13 @@ def main(argv=None):
 
     def flush(rows):
         """Write after every row: a killed/timed-out run keeps its rows
-        (compiles are disk-cached, so a rerun fast-forwards)."""
+        (compiles are disk-cached, so a rerun fast-forwards). Atomic
+        temp-file + os.replace so a kill mid-write can't corrupt args.out."""
         if args.out:
-            with open(args.out, "w") as f:
+            tmp = args.out + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(results + rows, f, indent=1)
+            os.replace(tmp, args.out)
 
     for path in args.graphs:
         print(f"== {path} ==")

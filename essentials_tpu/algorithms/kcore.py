@@ -48,7 +48,7 @@ def init(g: Graph) -> KcoreState:
                       jnp.asarray(False))
 
 
-def step(g: Graph, state: KcoreState, it) -> KcoreState:
+def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
     """One peeling sweep. Empty peels jump k straight to
     min(remaining degree)+1 (collapsing the reference's one-at-a-time
     k bumps, kcore.hxx:158-178); small peel sets run the budgeted spray
@@ -82,7 +82,8 @@ def step(g: Graph, state: KcoreState, it) -> KcoreState:
         return jnp.zeros(vp, jnp.int32), nofidx, jnp.asarray(False)
 
     cnt = jnp.count_nonzero(peel)
-    if spray_enabled(g):
+    use_spray = spray_enabled(g) if spray_override is None else spray_override
+    if use_spray:
         def spray_tier(budget, kk):
             """Budget-tiered spray wave: gather/sort costs scale with the
             tier's budget, so the many late-cascade waves that peel a
@@ -155,10 +156,13 @@ def _run_fused_compiled(g, max_it):
 
 
 def run(g: Graph, *, max_iterations: int | None = None,
-        warmup: bool = True, variant: str = "auto") -> KcoreResult:
+        warmup: bool = True, variant: str = "auto",
+        spray_override=None) -> KcoreResult:
     """variant: 'auto' (fused when supported), 'fused' (edge-axis 3-kernel
     peel waves, ops/fused_kcore.py), or 'adaptive' (vertex-axis sweeps
-    with spray)."""
+    with spray). spray_override forces the adaptive path's spray branch
+    on/off regardless of graph size (tests use it to drive the tracked-
+    candidate waves on small graphs)."""
     max_it = max_iterations if max_iterations is not None else 4 * g.n_vertices + 8
     if variant == "auto":
         variant = "fused" if fused_supported(g) else "adaptive"
@@ -172,7 +176,11 @@ def run(g: Graph, *, max_iterations: int | None = None,
         jax.block_until_ready(core)
         elapsed = (_time.perf_counter() - t0) * 1e3
         return KcoreResult(core[:g.n_vertices], it_val, elapsed)
-    res: EnactResult = enact(step, converged, g, init(g),
+
+    def _step(g, state, it):
+        return step(g, state, it, spray_override=spray_override)
+
+    res: EnactResult = enact(_step, converged, g, init(g),
                              max_iterations=max_it, warmup=warmup)
     return KcoreResult(res.state.core[:g.n_vertices], res.iterations,
                        res.elapsed_ms)

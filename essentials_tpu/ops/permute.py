@@ -59,17 +59,29 @@ def _build_lib() -> bool:
             if not os.path.exists(_SO):
                 subprocess.run(["make", "-C", native_dir], check=True,
                                capture_output=True, timeout=300)
-    except Exception:
+    except subprocess.CalledProcessError as e:
+        # surface compiler diagnostics instead of the generic ImportError
+        tail = (e.stderr or b"").decode(errors="replace")[-2000:]
+        global _build_error
+        _build_error = f"`make -C {native_dir}` failed:\n{tail}"
+        return False
+    except Exception as e:
+        _build_error = f"{type(e).__name__}: {e}"
         return False
     return os.path.exists(_SO)
+
+
+_build_error = None
 
 
 def _load_lib():
     global _lib
     if _lib is None:
         if not os.path.exists(_SO) and not _build_lib():
+            detail = f"\n{_build_error}" if _build_error else ""
             raise ImportError(
-                f"native router not built ({_SO}); run: make -C essentials_tpu/native")
+                f"native router not built ({_SO}); "
+                f"run: make -C essentials_tpu/native{detail}")
         _lib = ctypes.CDLL(_SO)
         _lib.etpu_edge_color.restype = ctypes.c_int
         _lib.etpu_edge_color.argtypes = [

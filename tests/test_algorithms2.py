@@ -233,3 +233,29 @@ def test_kcore_fused_matches_reference():
         res = kcore.run(g, warmup=False, variant="fused")
         ref = kcore.cpu_reference(csr)
         assert np.array_equal(np.asarray(res.core), ref), spec
+
+
+def test_kcore_adaptive_spray_matches_reference():
+    """Adaptive kcore with the spray branch FORCED on small graphs
+    (spray_override=True): exercises the tracked-candidate list (fvalid
+    filter), the tiny tier, and multi-wave cascades at one k level —
+    the code path rmat20 benchmarks take, validated vs host peeling.
+    (ADVICE r3: this path previously shipped with zero output validation.)
+    """
+    import numpy as np
+    from essentials_tpu.algorithms import kcore
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.io import generate
+    for spec in [("rmat", 9, 8, 3), ("grid", 20, 0, 0)]:
+        if spec[0] == "rmat":
+            coo = generate.rmat(spec[1], spec[2], seed=spec[3],
+                                undirected=True, weighted=False)
+        else:
+            coo = generate.grid_2d(spec[1], weighted=False)
+        csr = Csr.from_coo(coo)
+        g = build_graph(csr, directed=False, weighted=False)
+        res = kcore.run(g, warmup=False, variant="adaptive",
+                        spray_override=True)
+        ref = kcore.cpu_reference(csr)
+        assert np.array_equal(np.asarray(res.core), ref), spec
