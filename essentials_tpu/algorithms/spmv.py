@@ -32,6 +32,20 @@ def spmv_pull(g: Graph, x: jax.Array) -> jax.Array:
                            dst_values=(x,), combine=Combine.SUM)
 
 
+def fused_supported(g: Graph) -> bool:
+    from essentials_tpu.ops.fused_spmv import fused_spmv_supported
+    return g.csc_values is not None and fused_spmv_supported(g)
+
+
+@jax.jit
+def spmv_fused(g: Graph, x: jax.Array) -> jax.Array:
+    """The 7-kernel fused chain (ops/fused_spmv.py): expand + multiply +
+    route + segmented sum + boundary pick with all glue fused into the
+    route kernels. Requires fused_supported(g)."""
+    from essentials_tpu.ops.fused_spmv import spmv_fused as _f
+    return _f(g, x)
+
+
 @jax.jit
 def spmv_push(g: Graph, x: jax.Array) -> jax.Array:
     """Transpose-free push: y[dst] += w * x[src] over the dst-sorted edges —
@@ -41,13 +55,18 @@ def spmv_push(g: Graph, x: jax.Array) -> jax.Array:
                    combine=Combine.SUM, with_frontier=False)
 
 
-def run(g: Graph, x=None, *, variant: str = "pull", seed: int = 0,
+def run(g: Graph, x=None, *, variant: str = "auto", seed: int = 0,
         warmup: bool = True) -> SpmvResult:
+    """variant: 'auto' (fused chain when the graph carries cube routes,
+    else pull), 'fused', 'pull', or 'push' (A^T @ x)."""
     if x is None:
         key = jax.random.PRNGKey(seed)
         x = jax.random.uniform(key, (g.n_vertices_padded,), jnp.float32)
         x = jnp.where(g.vertex_mask(), x, 0.0)
-    fn = spmv_pull if variant == "pull" else spmv_push
+    if variant == "auto":
+        variant = "fused" if fused_supported(g) else "pull"
+    fn = {"fused": spmv_fused, "pull": spmv_pull,
+          "push": spmv_push}[variant]
     if warmup:
         from essentials_tpu.utils.timer import fence
         fence(fn(g, x))

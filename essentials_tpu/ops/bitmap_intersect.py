@@ -44,6 +44,10 @@ _LOOKAHEAD = 12              # v-row prefetch distance (hides ~µs DMA latency)
 _INTERPRET = False           # set True in tests to run the kernel on CPU
 
 
+def _interp():
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
 def _popc(x):
     """Per-lane popcount of int32 bit-words (SWAR; wrap-around exact)."""
     s = jax.lax.shift_right_logical
@@ -154,7 +158,7 @@ def bitmap_intersect_counts(eu: jax.Array, ev: jax.Array, bitmap: jax.Array,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((e2,), jnp.int32),
                    jax.ShapeDtypeStruct((32, R, LANES), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(eu, ev, bitmap)
 
 

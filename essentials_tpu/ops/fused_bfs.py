@@ -37,6 +37,16 @@ LANES = 128
 _ROWS = 1024
 _INTERPRET = False
 
+
+def _interp():
+    """Interpret Pallas kernels when not on TPU (or when tests force it).
+
+    Reading the backend at TRACE time makes kernel modules order-independent
+    under pytest: the old module-level flag was mutated by test imports,
+    so whether a CPU run crashed depended on which test file imported
+    first (the r3 test_bitmap_tc flake class)."""
+    return _INTERPRET or jax.default_backend() != "tpu"
+
 UNREACHED = np.iinfo(np.int32).max
 
 
@@ -155,7 +165,7 @@ def suffix_fill_update(S: jax.Array, start_flags: jax.Array,
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(s2, f2, l2, jnp.asarray(it, jnp.int32).reshape(1, 1))
     return olev.reshape(-1)[:n], oany
 
@@ -274,7 +284,7 @@ def segment_broadcast_total(S: jax.Array, start_flags: jax.Array
         out_shape=jax.ShapeDtypeStruct(s2.shape, S.dtype),
         scratch_shapes=[pltpu.SMEM((1,), S.dtype),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(s2, f2)
     return out.reshape(-1)[:n]
 
@@ -546,7 +556,7 @@ def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
         out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(it_s, xm, flags_in, i0, i1)
 
     vmem = (_pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -558,7 +568,7 @@ def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
         out_specs=bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         compiler_params=vmem,
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k1, *[a for a, _ in k2_idx])
 
     rev_in = bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, G - 1 - m, 0))
@@ -576,7 +586,7 @@ def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k2, i6, flags_in, xm, it_s)
     return olev.reshape(L)[:n], oany
 
@@ -611,7 +621,7 @@ def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
                   bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0))],
         out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(jnp.asarray(it, jnp.int32).reshape(1, 1), xm, i0, i1)
 
     vmem = (_pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -623,7 +633,7 @@ def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
         out_specs=bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         compiler_params=vmem,
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k1, *[a for a, _ in k2_idx])
 
     k3 = pl.pallas_call(
@@ -635,7 +645,7 @@ def fused_route_or(g, lev_exp: jax.Array, it) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((1, M, CL, CL), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k2, i6, fm)
     return k3.reshape(L)[:n]
 

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from essentials_tpu.ops.fused_bfs import (
-    LANES, _MSLAB_ROWS, _INTERPRET, _fwd_fill_starts, _shift_lanes_left,
+    LANES, _MSLAB_ROWS, _INTERPRET, _interp, _fwd_fill_starts, _shift_lanes_left,
     _shift_rows_left)
 
 IMAX = np.iinfo(np.int32).max
@@ -180,7 +180,7 @@ def fused_kcore_sweep(g, deg_exp, core_exp, k):
         out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k_s, xm, fm, i0, i1)
 
     vmem = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -192,7 +192,7 @@ def fused_kcore_sweep(g, deg_exp, core_exp, k):
         out_specs=bs((1, 1, M, CL), lambda cc, p: (p, cc, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         compiler_params=vmem,
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k1, *[a for a, _ in k2_idx])
 
     rev_in = bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, G - 1 - m, 0))
@@ -212,7 +212,7 @@ def fused_kcore_sweep(g, deg_exp, core_exp, k):
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k2, i6, fm, xm, cm, k_s)
     return od.reshape(L)[:n], oc.reshape(L)[:n], ocnt, omin
 

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from essentials_tpu.ops.fused_bfs import (
-    LANES, _MSLAB_ROWS, _INTERPRET, _fwd_fill_starts, _shift_lanes_left,
+    LANES, _MSLAB_ROWS, _INTERPRET, _interp, _fwd_fill_starts, _shift_lanes_left,
     _shift_rows_left)
 
 INF_BITS = np.float32(np.inf).view(np.int32).item()   # 0x7f800000
@@ -169,7 +169,7 @@ def fused_sssp_superstep(g, dist_exp: jax.Array) -> tuple:
         out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(xm, fm, wm, i0, i1)
 
     vmem = (pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -181,7 +181,7 @@ def fused_sssp_superstep(g, dist_exp: jax.Array) -> tuple:
         out_specs=bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
         compiler_params=vmem,
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k1, *[a for a, _ in k2_idx])
 
     rev_in = bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, G - 1 - m, 0))
@@ -198,7 +198,7 @@ def fused_sssp_superstep(g, dist_exp: jax.Array) -> tuple:
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(k2, i6, fm, xm)
     return odist.reshape(L)[:n], ocnt
 

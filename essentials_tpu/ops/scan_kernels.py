@@ -35,6 +35,10 @@ _ROWS = 1024                     # rows per grid block (R*128 elems, 512 KB f32)
 _INTERPRET = False               # set True in tests to run kernels on CPU
 
 
+def _interp():
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
 def _op_fn(op: str):
     # "first" (keep the older value) is associative; with a segment-start
     # flag at position 0 it implements forward-fill over runs.
@@ -243,7 +247,7 @@ def segmented_minmax_1d(x: jax.Array, flags: jax.Array, active: jax.Array):
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(x2, f2, a2)
     return smax.reshape(-1)[:n], smin.reshape(-1)[:n]
 
@@ -283,7 +287,7 @@ def scan_1d(x: jax.Array, op: str = "add") -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
         scratch_shapes=[pltpu.SMEM((1,), x.dtype)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(x2)
     return out.reshape(-1)[:n]
 
@@ -316,7 +320,7 @@ def segmented_scan_1d(x: jax.Array, flags: jax.Array, op: str):
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
         scratch_shapes=[pltpu.SMEM((1,), carry_dt),
                         pltpu.SMEM((1,), jnp.int32)],
-        interpret=_INTERPRET,
+        interpret=_interp(),
     )(x2, f2)
     return res.reshape(-1)[:n]
 

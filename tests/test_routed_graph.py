@@ -6,6 +6,7 @@ runs, against the same references as the default path.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import essentials_tpu as et
@@ -49,3 +50,26 @@ def test_spmv_routed(graph_and_csr):
     want = spmv.cpu_reference(csr, x)
     np.testing.assert_allclose(np.asarray(y.y)[:csr.n_rows], want,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_spmv_fused_chain():
+    """Fused 7-kernel SpMV chain (ops/fused_spmv.py) vs host reference on
+    a cube-routed graph (reference algebra on CPU — same stage order the
+    TPU kernels execute)."""
+    from essentials_tpu.io import generate
+    from essentials_tpu.formats import Csr
+    coo = generate.rmat(12, 16, seed=7, undirected=True, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = et.build_graph(csr, directed=False, weighted=True,
+                       build_router=True)
+    assert spmv.fused_supported(g), "expected cube routes at this size"
+    x = np.random.default_rng(1).standard_normal(
+        g.n_vertices_padded).astype(np.float32)
+    y = spmv.run(g, jnp.asarray(x), variant="fused", warmup=False)
+    want = spmv.cpu_reference(csr, x[:csr.n_rows])
+    np.testing.assert_allclose(np.asarray(y.y)[:csr.n_rows], want,
+                               rtol=1e-4, atol=1e-4)
+    # and the pull path agrees with the fused path bit-for-bit class
+    y2 = spmv.run(g, jnp.asarray(x), variant="pull", warmup=False)
+    np.testing.assert_allclose(np.asarray(y.y), np.asarray(y2.y),
+                               rtol=1e-5, atol=1e-5)
