@@ -1,0 +1,102 @@
+"""SpMV variant A/B on the real chip: generic pull vs fused 7-kernel chain.
+
+Replay-amortized protocol (same as profile_spmv_bfs.py): per-iteration ms
+is (time of R in-jit iterations - time of 1) / (R-1). Run alone — the axon
+TPU runtime is single-client.
+
+Usage: python benchmarks/profile_spmv_variants.py [scale=20] [ef=30]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+R = 16
+
+
+def bench(name, make_fn, init_x, g, n_bytes_model=None, cycles=3):
+    @partial(jax.jit, static_argnums=(2,))
+    def replay(g, x, n):
+        def body(i, x):
+            return make_fn(g, x, i)
+        out = jax.lax.fori_loop(0, n, body, x)
+        return sum(jnp.sum(jnp.asarray(o, jnp.float32).ravel()[:8])
+                   for o in jax.tree_util.tree_leaves(out))
+
+    def fetch(n):
+        t = time.perf_counter()
+        float(replay(g, init_x, n))
+        return time.perf_counter() - t
+
+    t0 = time.perf_counter()
+    fetch(1)
+    compile_s = time.perf_counter() - t0
+    fetch(R)
+    best = float("inf")
+    for _ in range(cycles):
+        d1 = fetch(1)
+        dR = fetch(R)
+        best = min(best, max((dR - d1) / (R - 1), 1e-9))
+    ms = best * 1e3
+    extra = ""
+    if n_bytes_model:
+        extra = f"  ({n_bytes_model / best / 1e9:7.1f} GB/s-model)"
+    print(f"{name:34s} {ms:9.3f} ms{extra}   [compile {compile_s:.0f}s]",
+          flush=True)
+    return ms
+
+
+def main():
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.io import generate
+    from essentials_tpu.algorithms import spmv
+
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    ef = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    t0 = time.perf_counter()
+    coo = generate.rmat(scale, ef, seed=3, undirected=False, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=True, weighted=True)
+    ep = g.n_edges_padded
+    e = g.n_edges
+    print(f"built: V={g.n_vertices} E={e} Ep={ep} fused_supported="
+          f"{spmv.fused_supported(g)} ({time.perf_counter() - t0:.0f}s)",
+          flush=True)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                            (g.n_vertices_padded,), jnp.float32)
+
+    # host parity check of the fused chain at this scale (once)
+    y_f = np.asarray(spmv.spmv_fused(g, x0))[:min(g.n_vertices, 1 << 18)]
+    y_p = np.asarray(spmv.spmv_pull(g, x0))[:y_f.shape[0]]
+    err = np.max(np.abs(y_f - y_p) / np.maximum(np.abs(y_p), 1e-3))
+    print(f"fused vs pull max-rel-err (first {y_f.shape[0]}): {err:.2e}",
+          flush=True)
+
+    sol_bytes = e * 12.0        # val + colidx + x-gather: the roofline model
+    print(f"speed-of-light @12B/edge: {sol_bytes / 819e9 * 1e3:.3f} ms",
+          flush=True)
+
+    def keep(y, x):
+        return x + y[:x.shape[0]] * 1e-9
+
+    ms_f = bench("spmv_fused (7k chain)",
+                 lambda g, x, i: keep(spmv.spmv_fused(g, x), x),
+                 x0, g, n_bytes_model=ep * 4 * 14)
+    ms_p = bench("spmv_pull (generic)",
+                 lambda g, x, i: keep(spmv.spmv_pull(g, x), x),
+                 x0, g, n_bytes_model=ep * 4 * 14)
+    for name, ms in [("fused", ms_f), ("pull", ms_p)]:
+        print(f"{name}: {ms:.3f} ms  -> pct_hbm_roofline="
+              f"{sol_bytes / 819e9 * 1e3 / ms:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

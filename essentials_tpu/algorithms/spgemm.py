@@ -183,6 +183,266 @@ def run(a: Csr, b: Csr, *, warmup: bool = True,
                             np.asarray(vals, np.float32)), ms)
 
 
+# ------------------------------------------------------------------ #
+# chunked numeric phase (VERDICT r4 #3): product counts beyond what a
+# single static-route plan can carry (the route plans cost ~7-17 B per
+# product slot — 1.2e9 products would need ~10 GB of stage indices and
+# an HTTP-413-sized program). The chunked path ships NO per-product
+# static data at all: the product axis is tiled into fixed-shape chunks
+# and each chunk's expansion / key grouping runs with DEVICE sorts
+# (lax.sort is ~30x off roofline, but its cost is O(chunk) with zero
+# plan bytes — the only formulation that scales to 1e9+ products on one
+# chip). One jitted chunk program (static shapes) serves every chunk.
+#
+# Per chunk, entirely on device:
+#   1. telescoping expansion of a_vals / row / B-row-start over the
+#      chunk's A-edge offsets (one small scatter + cumsum)
+#   2. b_vals/b_cols gather by b_eid via a TAGGED SORT (sort the b-edge
+#      axis and the slot axis together keyed by b-edge id, forward-fill
+#      the authoritative b-edge entries, unsort) — the TPU-native
+#      replacement for the reference's per-thread B-row walk
+#      (spgemm.hxx:116-175)
+#   3. key sort by (row, col) + segmented f32 sum
+#   4. compaction sort of per-segment totals -> window write into the
+#      global C-values buffer (overlapping fixed windows, ascending
+#      offsets: garbage tails are overwritten by later chunks)
+#
+# The host symbolic phase is streamed in O(chunk) memory and computes
+# C's exact structure plus a duplicate-merge map for (row,col) segments
+# split across chunk boundaries.
+
+
+@dataclass(frozen=True)
+class ChunkedPlan:
+    n_products: int
+    Wc: int                     # product slots per chunk (static shape)
+    Ecap: int                   # A-edge capacity per chunk (static shape)
+    chunks: tuple               # ((e0, p0, npc, c_base), ...)
+    c_dev_total: int            # device-layout entries (pre-merge, w/ dups)
+    merge_order: np.ndarray     # stable merge sort of the device layout
+    merge_offsets: np.ndarray   # run starts into the MERGED order
+    c_row_offsets: np.ndarray   # final C structure (post-merge)
+    c_col_indices: np.ndarray
+
+
+def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
+                      chunk_edges: int = 1 << 22) -> ChunkedPlan | None:
+    """Streamed symbolic phase: chunk boundaries + exact C structure,
+    O(chunk) peak memory."""
+    throw_if(a.n_cols != b.n_rows, "spgemm: inner dimensions disagree")
+    a_cols = np.asarray(a.col_indices, np.int64)
+    b_off = np.asarray(b.row_offsets, np.int64)
+    b_cols = np.asarray(b.col_indices, np.int64)
+    a_off = np.asarray(a.row_offsets, np.int64)
+    a_src = np.repeat(np.arange(a.n_rows, dtype=np.int64), np.diff(a_off))
+
+    per_edge = np.diff(b_off)[a_cols]
+    wc = np.zeros(a.nnz + 1, np.int64)
+    np.cumsum(per_edge, out=wc[1:])
+    n_products = int(wc[-1])
+    if n_products == 0:
+        return None
+    throw_if(n_products > np.iinfo(np.int32).max,
+             "spgemm: >2^31 products exceeds int32 addressing; this "
+             "product does not fit one chip's HBM either "
+             f"(needs ~{n_products * 16 / 1e9:.0f} GB of work arrays)")
+    Wc = int(chunk_products)
+    Ecap = int(min(chunk_edges, a.nnz))
+
+    chunks = []
+    rows_l, cols_l = [], []
+    spans = []
+    c_base = 0
+    e0 = 0
+    while e0 < a.nnz:
+        p0 = int(wc[e0])
+        # largest e1 with products <= Wc and edges <= Ecap
+        e_hi = min(a.nnz, e0 + Ecap)
+        e1 = int(np.searchsorted(wc, p0 + Wc, side="right")) - 1
+        e1 = max(min(e1, e_hi), e0 + 1)      # always progress
+        npc = int(wc[e1] - p0)
+        throw_if(npc > Wc, "spgemm: single A edge exceeds chunk_products; "
+                           "raise chunk_products")
+        if npc > 0:
+            # chunk-local keys (host, O(npc)): same (row, col) sort the
+            # device performs -> per-chunk unique layout
+            pe = per_edge[e0:e1]
+            a_eid = np.repeat(np.arange(e0, e1), pe)
+            k_in = np.arange(npc) - (wc[a_eid] - p0)
+            b_eid = b_off[a_cols[a_eid]] + k_in
+            r = a_src[a_eid]
+            c = b_cols[b_eid]
+            order = np.lexsort((c, r))
+            sr, sc = r[order], c[order]
+            new = np.ones(npc, bool)
+            new[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
+            ui = np.nonzero(new)[0]
+            rows_l.append(sr[ui])
+            cols_l.append(sc[ui])
+            chunks.append((e0, p0, npc, c_base))
+            spans.append(e1 - e0)
+            c_base += ui.shape[0]
+        e0 = e1
+
+    # shrink the static edge capacity to the largest chunk actually built
+    # (the scatter in the device expansion costs per padded element)
+    Ecap = max(spans) if spans else 1
+
+    dev_rows = np.concatenate(rows_l)
+    dev_cols = np.concatenate(cols_l)
+    c_dev_total = dev_rows.shape[0]
+    # merge map: a (row,col) pair split across chunk boundaries yields one
+    # entry per chunk, and the per-chunk sorted sublists interleave — a
+    # global stable merge sort of the device layout (host, once per
+    # structure) gives the final order + duplicate runs to fold
+    order = np.lexsort((dev_cols, dev_rows))
+    sr, sc = dev_rows[order], dev_cols[order]
+    keep = np.ones(c_dev_total, bool)
+    keep[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
+    merge_offsets = np.nonzero(keep)[0]
+    u_rows = sr[merge_offsets]
+    u_cols = sc[merge_offsets].astype(np.int32)
+    c_row_off = np.zeros(a.n_rows + 1, np.int64)
+    np.cumsum(np.bincount(u_rows, minlength=a.n_rows), out=c_row_off[1:])
+    return ChunkedPlan(
+        n_products=n_products, Wc=Wc, Ecap=Ecap, chunks=tuple(chunks),
+        c_dev_total=c_dev_total, merge_order=order,
+        merge_offsets=merge_offsets,
+        c_row_offsets=c_row_off.astype(np.int32), c_col_indices=u_cols)
+
+
+@partial(jax.jit, static_argnames=("Wc", "Ecap"), donate_argnums=(7,))
+def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
+                   scalars, cvals, *, Wc: int, Ecap: int):
+    """One chunk: expansion + tagged-sort gather + key sort + segmented
+    sum + compaction + window write into cvals. scalars = (e0, p0, npc,
+    c_base) int32."""
+    from essentials_tpu.ops.scan_kernels import cumsum as pcumsum
+    from essentials_tpu.ops.scan_kernels import segmented_scan
+
+    e0, p0, npc, c_base = (scalars[i] for i in range(4))
+    nb = b_bits.shape[0]
+    imax = jnp.iinfo(jnp.int32).max
+
+    wcs = jax.lax.dynamic_slice(wc, (e0,), (Ecap + 1,)) - p0
+    offs = jnp.clip(wcs, 0, Wc).astype(jnp.int32)            # [Ecap+1]
+
+    def expand(vals):                                        # int32 [Ecap]
+        d = jnp.diff(vals, prepend=jnp.zeros(1, jnp.int32))
+        z = jnp.zeros(Wc + 1, jnp.int32).at[offs[:-1]].add(d)
+        return pcumsum(z[:Wc])
+
+    a_sl = jax.lax.dynamic_slice(a_bits, (e0,), (Ecap,))
+    r_sl = jax.lax.dynamic_slice(a_srcd, (e0,), (Ecap,))
+    bs_sl = jax.lax.dynamic_slice(b_startd, (e0,), (Ecap,))
+    a_e = expand(a_sl)
+    row = expand(r_sl)
+    bstart_e = expand(bs_sl)
+    estart_e = expand(wcs[:Ecap].astype(jnp.int32))
+    s = jnp.arange(Wc, dtype=jnp.int32)
+    valid = s < npc
+    b_eid = jnp.where(valid, bstart_e + (s - estart_e), nb)
+
+    # tagged-sort gather of b values + columns by b_eid
+    key = jnp.concatenate([jnp.arange(nb, dtype=jnp.int32), b_eid])
+    tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
+                           jnp.ones(Wc, jnp.int32)])
+    rank = jnp.concatenate([jnp.zeros(nb, jnp.int32), s])
+    pv = jnp.concatenate([b_bits, jnp.zeros(Wc, jnp.int32)])
+    pc = jnp.concatenate([b_colsd, jnp.zeros(Wc, jnp.int32)])
+    k2, t2, rk2, v2, c2 = jax.lax.sort((key, tag, rank, pv, pc),
+                                       num_keys=2)
+    auth = t2 == 0                       # authoritative b-edge rows
+    v2 = segmented_scan(v2, auth, "first")
+    c2 = segmented_scan(c2, auth, "first")
+    uk = jnp.where(t2 == 1, rk2, imax)
+    _, bv_e, col = jax.lax.sort((uk, v2, c2), num_keys=1)
+    bv_e, col = bv_e[:Wc], col[:Wc]
+
+    prod = jax.lax.bitcast_convert_type(a_e, jnp.float32) * \
+        jax.lax.bitcast_convert_type(bv_e, jnp.float32)
+    prod = jnp.where(valid, prod, 0.0)
+    rowk = jnp.where(valid, row, imax)
+    colk = jnp.where(valid, col, imax)
+
+    r3, c3, p3 = jax.lax.sort(
+        (rowk, colk, jax.lax.bitcast_convert_type(prod, jnp.int32)),
+        num_keys=2)
+    pf = jax.lax.bitcast_convert_type(p3, jnp.float32)
+    flags = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        (r3[1:] != r3[:-1]) | (c3[1:] != c3[:-1])])
+    sums = segmented_scan(pf, flags, "add")
+    endf = jnp.concatenate([flags[1:], jnp.ones(1, jnp.bool_)])
+    segid = pcumsum(flags.astype(jnp.int32)) - 1
+    ckey = jnp.where(endf & (s < npc), segid, imax)
+    _, csum = jax.lax.sort(
+        (ckey, jax.lax.bitcast_convert_type(sums, jnp.int32)), num_keys=1)
+    csum = jax.lax.bitcast_convert_type(csum, jnp.float32)
+    return jax.lax.dynamic_update_slice(cvals, csum, (c_base,))
+
+
+def numeric_chunked(plan: ChunkedPlan, a: Csr, b: Csr,
+                    a_vals=None, b_vals=None) -> np.ndarray:
+    """Run every chunk on device; returns final (merged) C values."""
+    av = np.asarray(a.values if a_vals is None else a_vals, np.float32)
+    bv = np.asarray(b.values if b_vals is None else b_vals, np.float32)
+    a_cols = np.asarray(a.col_indices, np.int64)
+    b_off = np.asarray(b.row_offsets, np.int64)
+    pad_e = plan.Ecap + 1
+    wc_h = np.zeros(a.nnz + 1, np.int64)
+    np.cumsum(np.diff(b_off)[a_cols], out=wc_h[1:])
+    dev = dict(
+        # edge-mode pad: beyond-end edges must keep offset n_products so
+        # their clipped in-chunk position lands at/after npc, never at 0
+        wc=jnp.asarray(np.pad(wc_h, (0, pad_e),
+                              mode="edge").astype(np.int32)),
+        a_bits=jnp.asarray(
+            np.pad(av.view(np.int32), (0, pad_e))),
+        a_srcd=jnp.asarray(np.pad(
+            np.repeat(np.arange(a.n_rows, dtype=np.int32),
+                      np.diff(np.asarray(a.row_offsets))),
+            (0, pad_e))),
+        b_startd=jnp.asarray(np.pad(
+            b_off[a_cols].astype(np.int32), (0, pad_e))),
+        b_bits=jnp.asarray(bv.view(np.int32)),
+        b_colsd=jnp.asarray(np.asarray(b.col_indices, np.int32)))
+    cvals = jnp.zeros(plan.c_dev_total + plan.Wc, jnp.float32)
+    for (e0, p0, npc, c_base) in plan.chunks:
+        sc = jnp.asarray([e0, p0, npc, c_base], jnp.int32)
+        cvals = _chunk_numeric(dev["wc"], dev["a_bits"], dev["a_srcd"],
+                               dev["b_startd"], dev["b_bits"],
+                               dev["b_colsd"], sc, cvals,
+                               Wc=plan.Wc, Ecap=plan.Ecap)
+    out = np.asarray(cvals)[:plan.c_dev_total]
+    if not plan.c_dev_total:
+        return out
+    return np.add.reduceat(out[plan.merge_order], plan.merge_offsets)
+
+
+def run_chunked(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
+                chunk_edges: int = 1 << 22, warmup: bool = True,
+                plan: ChunkedPlan | None = None) -> SpgemmResult:
+    """SpGEMM for product counts beyond the static-plan path's range."""
+    if plan is None:
+        plan = make_chunked_plan(a, b, chunk_products=chunk_products,
+                                 chunk_edges=chunk_edges)
+    if plan is None:
+        return SpgemmResult(Csr(a.n_rows, b.n_cols,
+                                np.zeros(a.n_rows + 1, np.int32),
+                                np.empty(0, np.int32),
+                                np.empty(0, np.float32)), 0.0)
+    if warmup:
+        numeric_chunked(plan, a, b)
+    t = Timer().begin()
+    vals = numeric_chunked(plan, a, b)
+    ms = t.end()
+    return SpgemmResult(Csr(a.n_rows, b.n_cols,
+                            np.asarray(plan.c_row_offsets),
+                            np.asarray(plan.c_col_indices),
+                            vals.astype(np.float32)), ms)
+
+
 def cpu_reference(a: Csr, b: Csr) -> Csr:
     """Host Gustavson via dict accumulation."""
     from collections import defaultdict

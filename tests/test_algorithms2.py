@@ -259,3 +259,23 @@ def test_kcore_adaptive_spray_matches_reference():
                         spray_override=True)
         ref = kcore.cpu_reference(csr)
         assert np.array_equal(np.asarray(res.core), ref), spec
+
+
+def test_spgemm_chunked_vs_cpu():
+    """Chunked numeric phase (device sorts, no per-product plans) with
+    TINY chunks to force many chunk boundaries — including mid-row splits
+    whose (row,col) duplicates the host merge map folds — vs both the
+    host Gustavson reference and the static-plan path."""
+    coo_a = generate.uniform_random(60, 5, seed=12, undirected=False)
+    coo_b = generate.uniform_random(60, 4, seed=13, undirected=False)
+    a, b = Csr.from_coo(coo_a), Csr.from_coo(coo_b)
+    ref = spgemm.cpu_reference(a, b)
+    for wc, ec in [(1 << 7, 1 << 5), (1 << 9, 1 << 12), (1 << 22, 1 << 22)]:
+        res = spgemm.run_chunked(a, b, chunk_products=wc, chunk_edges=ec,
+                                 warmup=False)
+        np.testing.assert_array_equal(res.c.row_offsets, ref.row_offsets,
+                                      err_msg=f"wc={wc}")
+        np.testing.assert_array_equal(res.c.col_indices, ref.col_indices,
+                                      err_msg=f"wc={wc}")
+        np.testing.assert_allclose(res.c.values, ref.values, rtol=1e-4,
+                                   atol=1e-5, err_msg=f"wc={wc}")
