@@ -61,47 +61,65 @@ def bench(spec: str, scale: int, ef: int) -> list[dict]:
 
     out = []
     for mode in ("all_gather", "boundary"):
-        dg = partition_graph(csr, 8, exchange=mode)
-        rec = {"dataset": spec, "mode": mode, "n_devices": 8,
-               "comm_values_per_step": dg.comm_values_per_step,
-               "comm_reduction_vs_all_gather": round(
-                   dg.n_vertices_global / max(dg.comm_values_per_step, 1),
-                   2),
-               "boundary_smax": dg.boundary_size,
-               "edges_per_device": dg.edges_per_device}
-
-        t0 = time.perf_counter()
-        d = D.dist_bfs(dg, mesh, src)
-        d = np.asarray(d)[:csr.n_rows]
-        ok_bfs = bool(np.array_equal(d, ref_bfs))
-        t_bfs = time.perf_counter() - t0
-        it_bfs = int(d[np.isfinite(d.astype(np.float64)) &
-                       (d < 2**31 - 1)].max()) if ok_bfs else -1
-
-        t0 = time.perf_counter()
-        ds = np.asarray(D.dist_sssp(dg, mesh, src))[:csr.n_rows]
-        fin = np.isfinite(ref_sssp)
-        ok_sssp = bool(np.array_equal(np.isfinite(ds), fin) and
-                       np.allclose(ds[fin], ref_sssp[fin], rtol=1e-5,
-                                   atol=1e-5))
-        t_sssp = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        dp = np.asarray(D.dist_pagerank(dg, mesh))[:csr.n_rows]
-        ok_pr = bool(np.allclose(dp, ref_pr, rtol=1e-3, atol=1e-7))
-        t_pr = time.perf_counter() - t0
-
-        rec.update({
-            "bfs": {"ok": ok_bfs, "wall_s": round(t_bfs, 2),
-                    "depth": it_bfs,
-                    "ms_per_superstep_cpu_artifact": round(
-                        t_bfs * 1e3 / max(it_bfs, 1), 1)},
-            "sssp": {"ok": ok_sssp, "wall_s": round(t_sssp, 2)},
-            "pr": {"ok": ok_pr, "wall_s": round(t_pr, 2)},
-        })
-        out.append(rec)
-        print(json.dumps(rec), flush=True)
+        for overlap in (False, True):
+            dg = partition_graph(csr, 8, exchange=mode, overlap=overlap)
+            rec = {"dataset": spec, "mode": mode, "n_devices": 8,
+                   "overlap": overlap,
+                   "comm_values_per_step": dg.comm_values_per_step,
+                   "comm_reduction_vs_all_gather": round(
+                       dg.n_vertices_global /
+                       max(dg.comm_values_per_step, 1), 2),
+                   # ICI model: bytes leaving each chip per superstep
+                   # (4 B values; boundary mode exchanges P*Smax slots,
+                   # all_gather ships the (P-1)/P remote share of Vtot).
+                   # docs/distributed.md turns this into the weak-scaling
+                   # projection.
+                   "ici_bytes_per_superstep_model": 4 * (
+                       dg.comm_values_per_step if dg.boundary_size
+                       else dg.n_vertices_global * 7 // 8),
+                   "boundary_smax": dg.boundary_size,
+                   "edges_per_device": dg.edges_per_device}
+            out.append(_run_one(dg, mesh, src, csr, ref_bfs, ref_sssp,
+                                ref_pr, rec, overlap))
     return out
+
+
+def _run_one(dg, mesh, src, csr, ref_bfs, ref_sssp, ref_pr, rec, overlap):
+    from essentials_tpu.parallel import distributed as D
+
+    t0 = time.perf_counter()
+    d = D.dist_bfs(dg, mesh, src, overlap=overlap)
+    d = np.asarray(d)[:csr.n_rows]
+    ok_bfs = bool(np.array_equal(d, ref_bfs))
+    t_bfs = time.perf_counter() - t0
+    it_bfs = int(d[np.isfinite(d.astype(np.float64)) &
+                   (d < 2**31 - 1)].max()) if ok_bfs else -1
+
+    t0 = time.perf_counter()
+    ds = np.asarray(D.dist_sssp(dg, mesh, src,
+                                overlap=overlap))[:csr.n_rows]
+    fin = np.isfinite(ref_sssp)
+    ok_sssp = bool(np.array_equal(np.isfinite(ds), fin) and
+                   np.allclose(ds[fin], ref_sssp[fin], rtol=1e-5,
+                               atol=1e-5))
+    t_sssp = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dp = np.asarray(D.dist_pagerank(dg, mesh,
+                                    overlap=overlap))[:csr.n_rows]
+    ok_pr = bool(np.allclose(dp, ref_pr, rtol=1e-3, atol=1e-7))
+    t_pr = time.perf_counter() - t0
+
+    rec.update({
+        "bfs": {"ok": ok_bfs, "wall_s": round(t_bfs, 2),
+                "depth": it_bfs,
+                "ms_per_superstep_cpu_artifact": round(
+                    t_bfs * 1e3 / max(it_bfs, 1), 1)},
+        "sssp": {"ok": ok_sssp, "wall_s": round(t_sssp, 2)},
+        "pr": {"ok": ok_pr, "wall_s": round(t_pr, 2)},
+    })
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main(argv=None):

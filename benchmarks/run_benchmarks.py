@@ -239,9 +239,12 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
 
     x0 = None
 
+    spmv_fn = A.spmv.spmv_fused if A.spmv.fused_supported(g) \
+        else A.spmv.spmv_pull
+
     def spmv_body(g, x0, s):
         x = guard(x0, s)
-        return (A.spmv.spmv_pull(g, x),), jnp.int32(1)
+        return (spmv_fn(g, x),), jnp.int32(1)
 
     import jax.numpy as jnp  # noqa: F811
     key = jax.random.PRNGKey(0)

@@ -41,9 +41,11 @@ def _pad_to(n: int, m: int) -> int:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["src_offsets", "dst_offsets", "weights", "route",
                       "vertex_valid", "out_degrees", "send_idx",
-                      "csrc_offsets"],
+                      "csrc_offsets", "peer_route", "peer_dst_offsets",
+                      "peer_edge_starts"],
          meta_fields=["n_devices", "block_size", "edges_per_device",
-                      "n_vertices", "n_edges", "boundary_size"])
+                      "n_vertices", "n_edges", "boundary_size",
+                      "peer_edges"])
 @dataclass(frozen=True)
 class DistGraph:
     """Edge-partitioned graph, stacked per device along axis 0.
@@ -71,6 +73,18 @@ class DistGraph:
     send_idx: jax.Array | None     # [P, P, Smax] int32 local ids to send
     csrc_offsets: jax.Array | None  # [P, P*Smax+2] compact-src offsets
 
+    # overlap-mode structures (build with overlap=True): the local edge
+    # axis split by SOURCE-OWNER peer, so each exchanged chunk can be
+    # expanded/routed/combined the moment it arrives (SURVEY §5
+    # comm/compute overlap). peer_edges is the rectangular per-(p,q) edge
+    # capacity; per-peer routes land each peer's edges in ITS OWN
+    # dst-sorted order with its own combine offsets — partial combines
+    # accumulate associatively across peers.
+    peer_edges: int = 0                      # Eq capacity (0 = not built)
+    peer_route: object | None = None         # stacked [P, P, ...] plans
+    peer_dst_offsets: jax.Array | None = None   # [P, P, Vs+2]
+    peer_edge_starts: jax.Array | None = None   # [P, P+1] edge range lo
+
     @property
     def n_vertices_global(self) -> int:
         return self.n_devices * self.block_size
@@ -85,11 +99,15 @@ class DistGraph:
 
 def partition_graph(csr: Csr | Coo, n_devices: int, *,
                     vertex_align: int = 8,
-                    exchange: str = "auto") -> DistGraph:
+                    exchange: str = "auto",
+                    overlap: bool = False) -> DistGraph:
     """1-D destination-owner partition with per-device gather-free layout.
 
     exchange: "all_gather" | "boundary" | "auto" (boundary when the static
-    source sets make it cheaper than gathering the full vector)."""
+    source sets make it cheaper than gathering the full vector).
+    overlap: additionally build the per-source-owner edge split (per-peer
+    routes + combine offsets) that lets supersteps process each exchanged
+    chunk as it arrives off the ring (distributed.py overlap mode)."""
     from essentials_tpu.ops.permute import route_permutation
 
     if isinstance(csr, Coo):
@@ -125,6 +143,7 @@ def partition_graph(csr: Csr | Coo, n_devices: int, *,
     nslots = n_devices * smax
     csrc_offsets = np.zeros((n_devices, nslots + 2), dtypes.edge_dtype)
     plans = []
+    per_dev_overlap = []
 
     for p in range(n_devices):
         sl = o1[starts[p]:starts[p + 1]]
@@ -167,8 +186,44 @@ def partition_graph(csr: Csr | Coo, n_devices: int, *,
         doff[vs + 1] = es                  # trash slot absorbs pad edges
         dst_offsets[p] = doff
         weights[p, :k] = sort_w
+        if overlap:
+            # per-source-owner edge ranges in the src-sorted layout
+            span = smax if exchange == "boundary" else vs
+            elo = np.searchsorted(sort_s, np.arange(n_devices + 1) * span)
+            per_dev_overlap.append((sort_s, sort_d, elo))
 
     route = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plans)
+
+    peer_kw = {}
+    if overlap:
+        eq_cap = _pad_to(max(max(int(np.max(np.diff(elo)))
+                                 for _, _, elo in per_dev_overlap), 1), 128)
+        p_plans, p_doffs, p_elos = [], [], []
+        for sort_s, sort_d, elo in per_dev_overlap:
+            for q in range(n_devices):
+                lo, hi = int(elo[q]), int(elo[q + 1])
+                dq = sort_d[lo:hi]
+                oq = np.lexsort((sort_s[lo:hi], dq))
+                gidx = np.arange(eq_cap, dtype=np.int64)
+                gidx[:hi - lo] = oq
+                p_plans.append(route_permutation(gidx))
+                ddeg = np.bincount(dq, minlength=vs).astype(np.int64)
+                dof = np.zeros(vs + 2, np.int64)
+                np.cumsum(ddeg, out=dof[1:vs + 1])
+                dof[vs + 1] = eq_cap       # trash slot absorbs peer pad
+                p_doffs.append(dof)
+            p_elos.append(elo)
+        peer_route = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs).reshape(
+                (n_devices, n_devices) + xs[0].shape), *p_plans)
+        peer_kw = dict(
+            peer_edges=eq_cap,
+            peer_route=peer_route,
+            peer_dst_offsets=jnp.asarray(
+                np.stack(p_doffs).reshape(n_devices, n_devices, vs + 2)
+                .astype(dtypes.edge_dtype)),
+            peer_edge_starts=jnp.asarray(
+                np.stack(p_elos).astype(dtypes.edge_dtype)))
 
     vidx = np.arange(vtot).reshape(n_devices, vs)
     vertex_valid = vidx < v
@@ -187,4 +242,5 @@ def partition_graph(csr: Csr | Coo, n_devices: int, *,
         out_degrees=jnp.asarray(deg.reshape(n_devices, vs)),
         send_idx=jnp.asarray(send_idx) if boundary else None,
         csrc_offsets=jnp.asarray(csrc_offsets) if boundary else None,
+        **peer_kw,
     )

@@ -126,3 +126,27 @@ def test_boundary_exchange_rmat(mesh8):
     finite = np.isfinite(ref)
     assert np.array_equal(np.isfinite(s), finite)
     assert np.allclose(s[finite], ref[finite], rtol=1e-5, atol=1e-5)
+
+
+def test_overlap_mode_bfs_pr_sssp(chesapeake_csr, mesh8):
+    """Comm/compute-overlap supersteps (per-peer ring processing) match
+    the monolithic exchange path exactly, in BOTH exchange modes."""
+    from essentials_tpu.parallel.distributed import dist_sssp
+    from essentials_tpu.algorithms import sssp as sssp_alg
+    csr = chesapeake_csr
+    n = csr.n_rows
+    for mode in ("all_gather", "boundary"):
+        dg = partition_graph(csr, 8, exchange=mode, overlap=True)
+        assert dg.peer_edges > 0
+        dist = np.asarray(dist_bfs(dg, mesh8, 0, overlap=True))[:n]
+        assert compare(dist, bfs.cpu_reference(csr, 0)) == 0, mode
+        p_ref = np.asarray(dist_pagerank(dg, mesh8))[:n]
+        p_ovl = np.asarray(dist_pagerank(dg, mesh8, overlap=True))[:n]
+        np.testing.assert_allclose(p_ovl, p_ref, rtol=1e-5, atol=1e-7,
+                                   err_msg=mode)
+        d_ovl = np.asarray(dist_sssp(dg, mesh8, 0, overlap=True))[:n]
+        d_ref = sssp_alg.cpu_reference(csr, 0)
+        fin = np.isfinite(d_ref)
+        assert np.array_equal(np.isfinite(d_ovl), fin), mode
+        np.testing.assert_allclose(d_ovl[fin], d_ref[fin], rtol=1e-5,
+                                   err_msg=mode)
