@@ -141,6 +141,51 @@ def main():
         / max(iters, 1) / 1e6
     target = 0.70 * roofline_mteps
 
+    # --- second BASELINE metric: SpMV GB/s per chip (fused chain) ---
+    # weighted directed graph of the same class; SOL model 12 B/edge
+    # (value + column + x-gather).
+    n_v, n_e = g.n_vertices, g.n_edges
+    spmv_fields = {}
+    try:
+        del g
+        coo_w = generate.rmat(SCALE, EDGE_FACTOR, seed=3, undirected=False,
+                              weighted=True)
+        csr_w = Csr.from_coo(coo_w)
+        gw = build_graph(csr_w, directed=True, weighted=True)
+        from essentials_tpu.algorithms import spmv as spmv_mod
+        fn = spmv_mod.spmv_fused if spmv_mod.fused_supported(gw) \
+            else spmv_mod.spmv_pull
+        x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                                (gw.n_vertices_padded,), jnp.float32)
+
+        @partial(jax.jit, static_argnums=(2,))
+        def sreplay(gw, x, n):
+            def body(i, x):
+                return x * 0.5 + fn(gw, x)[:x.shape[0]] * 1e-9
+            return jnp.sum(jax.lax.fori_loop(0, n, body, x).ravel()[:8])
+
+        def sfetch(n):
+            t0 = time.perf_counter()
+            float(sreplay(gw, x0, n))
+            return (time.perf_counter() - t0) * 1e3
+
+        sfetch(1)
+        sfetch(RUNS)
+        scyc = []
+        for _ in range(5):
+            t1 = sfetch(1)
+            tR = sfetch(RUNS)
+            scyc.append(max((tR - t1) / (RUNS - 1), 1e-6))
+        spmv_ms = float(np.median(scyc))
+        sol_ms = csr_w.nnz * 12.0 / (HBM_GBPS * 1e9) * 1e3
+        spmv_fields = {
+            "spmv_gbps": round(csr_w.nnz * 12.0 / spmv_ms / 1e6, 1),
+            "spmv_ms": round(spmv_ms, 3),
+            "spmv_pct_hbm_roofline": round(sol_ms / spmv_ms, 4),
+        }
+    except Exception as e:            # never lose the primary metric
+        spmv_fields = {"spmv_error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "metric": f"bfs_mteps_rmat{SCALE}ef{EDGE_FACTOR}",
         "value": round(mteps, 2),
@@ -150,9 +195,10 @@ def main():
         "variant": best_variant,
         "variants_probe_ms": probe,
         "cycles_ms": [round(c, 3) for c in cycles_ms],
+        **spmv_fields,
     }))
     print(f"# med_ms={med_ms:.2f} best_ms={best_ms:.2f} iters_last={iters} "
-          f"V={g.n_vertices} E={g.n_edges} backend={jax.default_backend()} "
+          f"V={n_v} E={n_e} backend={jax.default_backend()} "
           f"roofline_mteps={roofline_mteps:.0f}", file=sys.stderr)
 
 

@@ -137,7 +137,7 @@ def bitmap_intersect_counts(eu: jax.Array, ev: jax.Array, bitmap: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_EDGE_BLOCK,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # bitmap stays HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # bitmap stays HBM
         ],
         out_specs=[
             pl.BlockSpec((_EDGE_BLOCK,), lambda i: (i,),

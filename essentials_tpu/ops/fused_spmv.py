@@ -168,9 +168,19 @@ def spmv_fused(g, x: jax.Array, *, use_pallas: bool | None = None
     return y[:g.n_vertices_padded]
 
 
-def _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c, n_seg):
+def _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c, n_seg,
+                       stop_after: int = 7):
+    """stop_after (profiling only): return the intermediate after the
+    N-th kernel (1..7) bitcast to f32 — lets benchmarks time chain
+    prefixes to locate hot kernels."""
     L = plan_a.length
     dt = jnp.int32
+
+    def _stop(v, k):
+        if stop_after == k:
+            return jax.lax.bitcast_convert_type(
+                v.reshape(-1)[:n_seg + 1], jnp.float32)
+        return None
 
     def bs(shp, im):
         return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
@@ -202,7 +212,11 @@ def _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c, n_seg):
         out_specs=bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((1, LANES, M, LANES), dt),
     )(xm, i0a, i1a)
+    if (r := _stop(v, 1)) is not None:
+        return r
     v = run_k2(v, k2a_kernel, k2a_idx)
+    if (r := _stop(v, 2)) is not None:
+        return r
 
     wm = w.reshape(M, LANES, LANES)
     v = pl.pallas_call(
@@ -216,7 +230,11 @@ def _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c, n_seg):
         out_shape=jax.ShapeDtypeStruct((1, LANES, M, LANES), dt),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )(v, wm, i6a, i0b, i1b)
+    if (r := _stop(v, 3)) is not None:
+        return r
     v = run_k2(v, k2b_kernel, k2b_idx)
+    if (r := _stop(v, 4)) is not None:
+        return r
 
     fm = flags.reshape(M, LANES, LANES)
     v = pl.pallas_call(
@@ -232,7 +250,11 @@ def _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c, n_seg):
                         pltpu.SMEM((1,), jnp.int32),
                         pltpu.SMEM((1,), jnp.float32)],
     )(v, fm, i6b, i0c, i1c)
+    if (r := _stop(v, 5)) is not None:
+        return r
     v = run_k2(v, k2c_kernel, k2c_idx)
+    if (r := _stop(v, 6)) is not None:
+        return r
 
     v = pl.pallas_call(
         partial(_k3_kernel, False, False), grid=(G, 1),
