@@ -70,10 +70,11 @@ def main():
                     dist, it = bfs.run_phased_levels(g, sources[i % RUNS],
                                                      max_it)
                     return acc + jnp.sum(dist[:256] % 97) + it, it
-                if variant == "fused":
+                if variant in ("fused", "fused8"):
                     from essentials_tpu.ops import fused_bfs as FB
                     lev, it, unreached = bfs.run_fused_levels(
-                        g, sources[i % RUNS], max_it)
+                        g, sources[i % RUNS], max_it,
+                        i8_carrier=(variant == "fused8"))
                     dist = FB.collapse_lev_exp(g, lev, sources[i % RUNS],
                                                unreached)
                     return acc + jnp.sum(dist[:256] % 97) + it, it
@@ -93,8 +94,8 @@ def main():
     # candidate variants, fastest-expected first; adaptive is probed only
     # when the fused engine is unavailable (its first compile is ~10 min
     # cold — never pay that when a supported faster path exists)
-    variants = (["fused", "phased", "hybrid"] if bfs.fused_supported(g)
-                else ["adaptive"])
+    variants = (["fused8", "fused", "phased", "hybrid"]
+                if bfs.fused_supported(g) else ["adaptive"])
 
     def make_timed(replay):
         def timed(R):

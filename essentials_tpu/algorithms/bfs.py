@@ -130,11 +130,13 @@ def _swar_mode(g: Graph, max_it) -> bool:
             and jax.default_backend() == "tpu" and not FB._INTERPRET)
 
 
-def run_fused_levels(g: Graph, source, max_it):
+def run_fused_levels(g: Graph, source, max_it, i8_carrier: bool = False):
     """Whole BFS on the edge axis (ops/fused_bfs.py): one fused 3-kernel
     superstep per level, no expand/collapse inside the loop. Returns
     (lev_exp, iterations). When max_it <= 126 the supersteps run the
-    byte-SWAR ladders (sentinel 127)."""
+    byte-SWAR ladders (sentinel 127). i8_carrier routes the 0/1
+    frontier on an int8 inter-kernel carrier (12 B/edge less HBM per
+    level; gathers widen in VMEM)."""
     from essentials_tpu.ops import fused_bfs as FB
 
     swar = _swar_mode(g, max_it)
@@ -150,7 +152,8 @@ def run_fused_levels(g: Graph, source, max_it):
     def body(c):
         lev, go, it = c
         if swar:
-            lev2, cnt = FB.fused_superstep2(g, lev, it, swar=True, fp=fp)
+            lev2, cnt = FB.fused_superstep2(g, lev, it, swar=True, fp=fp,
+                                            i8_carrier=i8_carrier)
         else:
             lev2, cnt = FB.fused_superstep(g, lev, it, unreached=unreached)
         return lev2, cnt[0, 0], it + 1
@@ -439,10 +442,10 @@ def predecessors_from_distances(g: Graph, dist: jax.Array) -> jax.Array:
     return jnp.where(valid, cand, -1)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _run_fused_compiled(g, source, max_it):
+@partial(jax.jit, static_argnums=(2, 3))
+def _run_fused_compiled(g, source, max_it, i8_carrier=False):
     from essentials_tpu.ops import fused_bfs as FB
-    lev, it, unreached = run_fused_levels(g, source, max_it)
+    lev, it, unreached = run_fused_levels(g, source, max_it, i8_carrier)
     return FB.collapse_lev_exp(g, lev, source, unreached), it
 
 
@@ -471,9 +474,8 @@ def _auto_variant(g: Graph, source, max_it) -> str:
         return "adaptive"
     import time as _time
     best, best_t = None, float("inf")
-    for cand in ("fused", "phased", "hybrid"):
-        fn = {"fused": _run_fused_compiled, "phased": _run_phased_compiled,
-              "hybrid": _run_hybrid_compiled}[cand]
+    for cand in ("fused8", "fused", "phased", "hybrid"):
+        fn = _variant_fn(cand)
         int(fn(g, source, max_it)[1])              # compile + warm
         t0 = _time.perf_counter()
         int(fn(g, source, max_it)[1])
@@ -482,6 +484,13 @@ def _auto_variant(g: Graph, source, max_it) -> str:
             best, best_t = cand, dt
     _auto_cache[key] = best
     return best
+
+
+def _variant_fn(cand: str):
+    if cand == "fused8":
+        return lambda g, s, m: _run_fused_compiled(g, s, m, True)
+    return {"fused": _run_fused_compiled, "phased": _run_phased_compiled,
+            "hybrid": _run_hybrid_compiled}[cand]
 
 
 def run(g: Graph, source: int, *, max_iterations: int | None = None,
@@ -508,12 +517,13 @@ def run(g: Graph, source: int, *, max_iterations: int | None = None,
         elapsed = (_time.perf_counter() - t0) * 1e3
         res = EnactResult(state=None, iterations=it_val, elapsed_ms=elapsed)
         distances = dist
-    elif variant == "fused" and fused_supported(g):
+    elif variant in ("fused", "fused8") and fused_supported(g):
         import time as _time
+        i8 = variant == "fused8"
         if warmup:
-            int(_run_fused_compiled(g, source, max_it)[1])
+            int(_run_fused_compiled(g, source, max_it, i8)[1])
         t0 = _time.perf_counter()
-        dist, it = _run_fused_compiled(g, source, max_it)
+        dist, it = _run_fused_compiled(g, source, max_it, i8)
         it_val = int(it)
         jax.block_until_ready(dist)
         elapsed = (_time.perf_counter() - t0) * 1e3

@@ -344,7 +344,8 @@ def _k1_fill_eq_kernel(it_ref, x_ref, f_ref, i0_ref, i1_ref, o_ref,
     y = _g2(y, i0_ref[...])
     y = jnp.swapaxes(y, 1, 2)                             # [8, C, B]
     y = _g2(y, i1_ref[...])
-    o_ref[0] = jnp.swapaxes(y, 0, 1)                      # [C, 8, B]
+    out = jnp.swapaxes(y, 0, 1)                           # [C, 8, B]
+    o_ref[0] = out if out.dtype == o_ref.dtype else out.astype(o_ref.dtype)
 
 
 def _suffix_segor(z, end, carry_v):
@@ -393,7 +394,8 @@ def _k3_suffixor_update_kernel(x_ref, i_ref, f_ref, lev_ref, it_ref,
         carry_start[0] = jnp.int32(1)        # global last position is an end
         oany_ref[...] = jnp.zeros_like(oany_ref)
 
-    x = x_ref[0]                                          # [C, 8, B]
+    from essentials_tpu.ops.cube_router import _widen
+    x = _widen(x_ref[0])                                  # [C, 8, B]
     x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
     x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
     x = _g2(x, i_ref[...])
@@ -442,7 +444,8 @@ def _k1_fill_eq_swar_kernel(it_ref, x_ref, fp_ref, i0_ref, i1_ref, o_ref,
     y = _g2(y, i0_ref[...])
     y = jnp.swapaxes(y, 1, 2)                             # [8, C, B]
     y = _g2(y, i1_ref[...])
-    o_ref[0] = jnp.swapaxes(y, 0, 1)                      # [C, 8, B]
+    out = jnp.swapaxes(y, 0, 1)                           # [C, 8, B]
+    o_ref[0] = out if out.dtype == o_ref.dtype else out.astype(o_ref.dtype)
 
 
 def _k3_suffixor_update_swar_kernel(x_ref, i_ref, fp_ref, lev_ref, it_ref,
@@ -459,7 +462,8 @@ def _k3_suffixor_update_swar_kernel(x_ref, i_ref, fp_ref, lev_ref, it_ref,
         carry_start[0] = jnp.int32(1)        # global last position is an end
         ocnt_ref[...] = jnp.zeros_like(ocnt_ref)
 
-    x = x_ref[0]                                          # [C, 8, B]
+    from essentials_tpu.ops.cube_router import _widen
+    x = _widen(x_ref[0])                                  # [C, 8, B]
     x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
     x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
     x = _g2(x, i_ref[...])
@@ -496,7 +500,8 @@ def pack_flags(flags: jax.Array, L: int) -> jax.Array:
 
 
 def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
-                     fp: jax.Array | None = None) -> tuple:
+                     fp: jax.Array | None = None,
+                     i8_carrier: bool = False) -> tuple:
     """One dense BFS level as THREE kernels (K1 fill+eq+route-head, K2
     middle, K3 route-tail + suffix segmented OR + level update).
 
@@ -523,6 +528,10 @@ def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
     M = plan.wide if plan.form == "wbc" else plan.wide * CL
     G = M // _MSLAB
     unreached = UNREACHED_E if swar else UNREACHED
+    # i8_carrier: the routed eq-output is 0/1 — an int8 inter-kernel
+    # carrier saves 12 B/edge of the level's ~34 B (the gathers widen to
+    # int32 inside VMEM; Mosaic lane gathers are int32-only)
+    carrier_dt = jnp.int8 if i8_carrier else jnp.int32
     x = lev_exp if n == L else jnp.pad(lev_exp, (0, L - n),
                                        constant_values=unreached)
     xm = x.reshape(1, M, CL, CL)
@@ -554,7 +563,7 @@ def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
                   bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0)),
                   bs((_MSLAB, CL, CL), lambda m, p: (m, 0, 0))],
         out_specs=bs((1, CL, _MSLAB, CL), lambda m, p: (p, 0, m, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), carrier_dt),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=_interp(),
     )(it_s, xm, flags_in, i0, i1)
@@ -566,7 +575,7 @@ def fused_superstep2(g, lev_exp: jax.Array, it, *, swar: bool = False,
         in_specs=[bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0))]
         + [spec for _, spec in k2_idx],
         out_specs=bs((1, 1, M, CL), lambda c, p: (p, c, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, CL, M, CL), carrier_dt),
         compiler_params=vmem,
         interpret=_interp(),
     )(k1, *[a for a, _ in k2_idx])
