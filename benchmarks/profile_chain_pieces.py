@@ -130,6 +130,33 @@ def scan_micro():
           n_bytes_model=n * 8)
 
 
+def copy_ceiling():
+    """Practical streaming ceiling: pure copy*2 at two block sizes.
+    Measured v5e (2026-08, axon pool): 341-373 GB/s-model — the number
+    every per-kernel GB/s figure here should be judged against, NOT the
+    819 GB/s HBM spec."""
+    n = 1 << 25
+    x2 = jax.random.normal(jax.random.PRNGKey(0), (n,), jnp.float32) \
+        .reshape(-1, LANES_)
+
+    def copy_kernel(x_ref, o_ref):
+        o_ref[:, :] = x_ref[:, :] * 2.0
+
+    for brows in (1024, 4096):
+        g2 = x2.shape[0] // brows
+        sp = pl.BlockSpec((brows, LANES_), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+        def cp(x2, sp=sp, g2=g2):
+            return pl.pallas_call(
+                copy_kernel, grid=(g2,), in_specs=[sp], out_specs=sp,
+                out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.float32))(x2)
+        bench(f"pure copy*2 blocks={brows}r", cp, x2, n_bytes_model=n * 8)
+
+
+LANES_ = 128
+
+
 def main():
     from essentials_tpu.formats import Csr
     from essentials_tpu.graph import build_graph
@@ -138,6 +165,7 @@ def main():
                                                 apply_cube_chain)
     from essentials_tpu.ops.permute import apply_plan
 
+    copy_ceiling()
     scan_micro()
 
     for scale, ef, tag in [(18, 16, "wbc"), (20, 30, "tfbc")]:

@@ -260,40 +260,74 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
             off = np.asarray(csr.row_offsets)
             products = int(deg.astype(np.int64)[np.asarray(
                 csr.col_indices)].sum())
+            static_ok = False
             if products <= (1 << 26):
+                try:
+                    from essentials_tpu.algorithms import spgemm as SG
+                    import time as _time
+                    t0 = _time.perf_counter()
+                    plan = SG.make_plan(csr, csr)
+                    plan_s = _time.perf_counter() - t0
+                    av = jnp.asarray(np.asarray(csr.values, np.float32))
+
+                    # the plan must ride as a jit ARGUMENT: closing over
+                    # it bakes its index arrays into the program as
+                    # constants (HTTP 413 on remote-compile upload)
+                    def spgemm_body(g, st, s):
+                        pl_, av_ = st
+                        return (SG.numeric(pl_, guard(av_, s), av_),), \
+                            jnp.int32(1)
+
+                    ms, iters, cycles = replay_ms(spgemm_body, g,
+                                                  (plan, av), sources, R=R)
+                    st = collect_stats("spgemm", ds, g, ms, 1,
+                                       cycles_ms=cycles,
+                                       edges_visited=products)
+                    rec = json.loads(st.to_json())
+                    rec["dispatch_floor_ms"] = floor
+                    rec["timing"] = f"replay(R={R})"
+                    rec["plan_seconds"] = round(plan_s, 2)
+                    rec["n_products"] = products
+                    out.append(rec)
+                    print(f"  {'spgemm':10s} {ms:10.3f} ms  "
+                          f"(plan {plan_s:.1f}s, {products/1e6:.1f}M "
+                          f"products)", flush=True)
+                    static_ok = True
+                except Exception as e:   # e.g. remote-compile 413
+                    print(f"  {'spgemm':10s} static plan failed "
+                          f"({type(e).__name__}) -> chunked", flush=True)
+            if not static_ok and products <= np.iinfo(np.int32).max:
+                # chunked numeric phase (round 4): device sorts, zero
+                # per-product plan bytes; timed directly (seconds of
+                # device work — dispatch overhead is negligible)
                 from essentials_tpu.algorithms import spgemm as SG
                 import time as _time
                 t0 = _time.perf_counter()
-                plan = SG.make_plan(csr, csr)
+                cplan = SG.make_chunked_plan(csr, csr)
                 plan_s = _time.perf_counter() - t0
-                av = jnp.asarray(np.asarray(csr.values, np.float32))
-
-                # the plan must ride as a jit ARGUMENT: closing over it
-                # bakes its index arrays into the program as constants
-                # (HTTP 413 on remote-compile upload at ~100M products)
-                def spgemm_body(g, st, s):
-                    pl_, av_ = st
-                    return (SG.numeric(pl_, guard(av_, s), av_),), \
-                        jnp.int32(1)
-
-                ms, iters, cycles = replay_ms(spgemm_body, g, (plan, av),
-                                              sources, R=R)
-                st = collect_stats("spgemm", ds, g, ms, 1, cycles_ms=cycles,
-                                   edges_visited=products)
-                rec = json.loads(st.to_json())
-                rec["dispatch_floor_ms"] = floor
-                rec["timing"] = f"replay(R={R})"
-                rec["plan_seconds"] = round(plan_s, 2)
-                rec["n_products"] = products
+                SG.numeric_chunked(cplan, csr, csr)          # warm
+                t0 = _time.perf_counter()
+                vals = SG.numeric_chunked(cplan, csr, csr)
+                ms = (_time.perf_counter() - t0) * 1e3
+                useful = products * 8 + int(vals.shape[0]) * 4
+                rec = {"algorithm": "spgemm", "dataset": ds,
+                       "elapsed_ms": round(ms, 1),
+                       "variant": "chunked",
+                       "n_products": products,
+                       "c_nnz": int(vals.shape[0]),
+                       "n_chunks": len(cplan.chunks),
+                       "plan_seconds": round(plan_s, 1),
+                       "gbps_effective": round(useful / ms / 1e6, 2),
+                       "timing": "direct (chunked host loop)"}
                 out.append(rec)
-                print(f"  {'spgemm':10s} {ms:10.3f} ms  "
-                      f"(plan {plan_s:.1f}s, {products/1e6:.1f}M products)",
-                      flush=True)
+                print(f"  {'spgemm':10s} {ms:10.1f} ms  (chunked x"
+                      f"{len(cplan.chunks)}, plan {plan_s:.0f}s, "
+                      f"{products/1e6:.0f}M products)", flush=True)
             else:
                 print(f"  {'spgemm':10s} skipped ({products/1e6:.0f}M "
-                      f"products > 64M gate)")
+                      f"products exceed int32 addressing/HBM)")
                 out.append({"algorithm": "spgemm", "dataset": ds,
-                            "skipped": f"{products} products > 2^26 gate"})
+                            "skipped": f"{products} products > int32/HBM"})
         except Exception as e:
             print(f"  {'spgemm':10s} FAILED: {type(e).__name__}: {e}")
             out.append({"algorithm": "spgemm", "dataset": ds,

@@ -272,13 +272,14 @@ def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
             b_eid = b_off[a_cols[a_eid]] + k_in
             r = a_src[a_eid]
             c = b_cols[b_eid]
-            order = np.lexsort((c, r))
-            sr, sc = r[order], c[order]
-            new = np.ones(npc, bool)
-            new[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
-            ui = np.nonzero(new)[0]
-            rows_l.append(sr[ui])
-            cols_l.append(sc[ui])
+            # single-key uint64 sort ~2-3x np.lexsort at 2^25
+            key = (r.astype(np.uint64) << np.uint64(32)) | \
+                c.astype(np.uint64)
+            skey = np.sort(key)
+            ukey = skey[np.concatenate(
+                [[True], skey[1:] != skey[:-1]])] if npc else skey
+            rows_l.append((ukey >> np.uint64(32)).astype(np.int64))
+            cols_l.append((ukey & np.uint64(0xffffffff)).astype(np.int64))
             chunks.append((e0, p0, npc, c_base))
             spans.append(e1 - e0)
             c_base += ui.shape[0]
@@ -295,7 +296,9 @@ def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
     # entry per chunk, and the per-chunk sorted sublists interleave — a
     # global stable merge sort of the device layout (host, once per
     # structure) gives the final order + duplicate runs to fold
-    order = np.lexsort((dev_cols, dev_rows))
+    gkey = (dev_rows.astype(np.uint64) << np.uint64(32)) | \
+        dev_cols.astype(np.uint64)
+    order = np.argsort(gkey, kind="stable")
     sr, sc = dev_rows[order], dev_cols[order]
     keep = np.ones(c_dev_total, bool)
     keep[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
@@ -321,7 +324,7 @@ def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
     from essentials_tpu.ops.scan_kernels import segmented_scan
 
     e0, p0, npc, c_base = (scalars[i] for i in range(4))
-    nb = b_bits.shape[0]
+    nb = b_bits.shape[0] - 1             # last slot = pad sentinel
     imax = jnp.iinfo(jnp.int32).max
 
     wcs = jax.lax.dynamic_slice(wc, (e0,), (Ecap + 1,)) - p0
@@ -343,21 +346,12 @@ def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
     valid = s < npc
     b_eid = jnp.where(valid, bstart_e + (s - estart_e), nb)
 
-    # tagged-sort gather of b values + columns by b_eid
-    key = jnp.concatenate([jnp.arange(nb, dtype=jnp.int32), b_eid])
-    tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
-                           jnp.ones(Wc, jnp.int32)])
-    rank = jnp.concatenate([jnp.zeros(nb, jnp.int32), s])
-    pv = jnp.concatenate([b_bits, jnp.zeros(Wc, jnp.int32)])
-    pc = jnp.concatenate([b_colsd, jnp.zeros(Wc, jnp.int32)])
-    k2, t2, rk2, v2, c2 = jax.lax.sort((key, tag, rank, pv, pc),
-                                       num_keys=2)
-    auth = t2 == 0                       # authoritative b-edge rows
-    v2 = segmented_scan(v2, auth, "first")
-    c2 = segmented_scan(c2, auth, "first")
-    uk = jnp.where(t2 == 1, rk2, imax)
-    _, bv_e, col = jax.lax.sort((uk, v2, c2), num_keys=1)
-    bv_e, col = bv_e[:Wc], col[:Wc]
+    # direct XLA gather of b values + columns by b_eid (~7.5 ns/elem —
+    # measured 10-20x cheaper at 2^25 than the tagged-sort gather this
+    # replaced: device sorts at 33M run ~75 ns/elem, not the ~2 ns/elem
+    # the 2M-element microbench suggested)
+    bv_e = b_bits[b_eid]                 # b padded with one sentinel slot
+    col = b_colsd[b_eid]
 
     prod = jax.lax.bitcast_convert_type(a_e, jnp.float32) * \
         jax.lax.bitcast_convert_type(bv_e, jnp.float32)
@@ -375,10 +369,10 @@ def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
     sums = segmented_scan(pf, flags, "add")
     endf = jnp.concatenate([flags[1:], jnp.ones(1, jnp.bool_)])
     segid = pcumsum(flags.astype(jnp.int32)) - 1
-    ckey = jnp.where(endf & (s < npc), segid, imax)
-    _, csum = jax.lax.sort(
-        (ckey, jax.lax.bitcast_convert_type(sums, jnp.int32)), num_keys=1)
-    csum = jax.lax.bitcast_convert_type(csum, jnp.float32)
+    # compaction by unique-key rank: one scatter (indices are unique;
+    # invalid tail drops via mode="drop") instead of a third sort
+    ckey = jnp.where(endf & (s < npc), segid, Wc)
+    csum = jnp.zeros(Wc, jnp.float32).at[ckey].set(sums, mode="drop")
     return jax.lax.dynamic_update_slice(cvals, csum, (c_base,))
 
 
@@ -405,8 +399,9 @@ def numeric_chunked(plan: ChunkedPlan, a: Csr, b: Csr,
             (0, pad_e))),
         b_startd=jnp.asarray(np.pad(
             b_off[a_cols].astype(np.int32), (0, pad_e))),
-        b_bits=jnp.asarray(bv.view(np.int32)),
-        b_colsd=jnp.asarray(np.asarray(b.col_indices, np.int32)))
+        b_bits=jnp.asarray(np.pad(bv.view(np.int32), (0, 1))),
+        b_colsd=jnp.asarray(np.pad(np.asarray(b.col_indices, np.int32),
+                                   (0, 1))))
     cvals = jnp.zeros(plan.c_dev_total + plan.Wc, jnp.float32)
     for (e0, p0, npc, c_base) in plan.chunks:
         sc = jnp.asarray([e0, p0, npc, c_base], jnp.int32)
