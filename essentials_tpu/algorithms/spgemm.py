@@ -282,7 +282,7 @@ def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
             cols_l.append((ukey & np.uint64(0xffffffff)).astype(np.int64))
             chunks.append((e0, p0, npc, c_base))
             spans.append(e1 - e0)
-            c_base += ui.shape[0]
+            c_base += ukey.shape[0]
         e0 = e1
 
     # shrink the static edge capacity to the largest chunk actually built
