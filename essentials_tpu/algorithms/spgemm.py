@@ -197,15 +197,16 @@ def run(a: Csr, b: Csr, *, warmup: bool = True,
 # Per chunk, entirely on device:
 #   1. telescoping expansion of a_vals / row / B-row-start over the
 #      chunk's A-edge offsets (one small scatter + cumsum)
-#   2. b_vals/b_cols gather by b_eid via a TAGGED SORT (sort the b-edge
-#      axis and the slot axis together keyed by b-edge id, forward-fill
-#      the authoritative b-edge entries, unsort) — the TPU-native
-#      replacement for the reference's per-thread B-row walk
-#      (spgemm.hxx:116-175)
+#   2. b_vals/b_cols gather by b_eid (direct XLA gather — the TPU
+#      replacement for the reference's per-thread B-row walk,
+#      spgemm.hxx:116-175; a tagged-sort formulation measured 2.4x
+#      slower end-to-end at kron_s16: device sorts at 2^25 run far
+#      below their 2M-element microbench rate)
 #   3. key sort by (row, col) + segmented f32 sum
-#   4. compaction sort of per-segment totals -> window write into the
-#      global C-values buffer (overlapping fixed windows, ascending
-#      offsets: garbage tails are overwritten by later chunks)
+#   4. compaction of per-segment totals by unique-key rank (one
+#      scatter) -> window write into the global C-values buffer
+#      (overlapping fixed windows, ascending offsets: garbage tails
+#      are overwritten by later chunks)
 #
 # The host symbolic phase is streamed in O(chunk) memory and computes
 # C's exact structure plus a duplicate-merge map for (row,col) segments
@@ -317,7 +318,7 @@ def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
 @partial(jax.jit, static_argnames=("Wc", "Ecap"), donate_argnums=(7,))
 def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
                    scalars, cvals, *, Wc: int, Ecap: int):
-    """One chunk: expansion + tagged-sort gather + key sort + segmented
+    """One chunk: expansion + b-gather + key sort + segmented
     sum + compaction + window write into cvals. scalars = (e0, p0, npc,
     c_base) int32."""
     from essentials_tpu.ops.scan_kernels import cumsum as pcumsum
