@@ -67,11 +67,11 @@ def main():
     # pieces at TINY tier
     bench("dedup sort TINY_K",
           lambda g, st, i: (spray_dedup(st[0], st[0] < 100, TINY_K,
-                                        pad)[1], st[1]),
+                                        pad)[1].astype(jnp.int32), st[1]),
           g, (fidx_t, peel))
     bench("frontier_out_degree TINY_K",
-          lambda g, st, i: (st[0],
-                            frontier_out_degree(g, st[0])[1][:8] + i),
+          lambda g, st, i: (st[0] + frontier_out_degree(g, st[0])[1] * 0
+                            + i * 0, st[1]),
           g, (fidx_t, peel))
 
     def spray_piece(g, st, i):
@@ -91,14 +91,14 @@ def main():
         sumdeg = jnp.sum(jnp.where(peel, deg, 0))
         alive = peel | (deg > i)
         mn = jnp.min(jnp.where(alive, deg, jnp.iinfo(jnp.int32).max))
-        return (fidx + (cnt + sumdeg + mn).astype(jnp.int32) * 0,
-                peel)
+        return (fidx + (cnt + sumdeg + mn).astype(jnp.int32) * 0, peel)
 
     bench("[Vp] bookkeeping (peel/cnt/sumdeg/min)", vp_bookkeeping, g,
           (fidx_t, peel))
 
     bench("compact_frontier SPRAY_K (Vp sort)",
-          lambda g, st, i: (compact_frontier(st[1], SPRAY_K, pad), st[1]),
+          lambda g, st, i: (st[0] + compact_frontier(
+              st[1], TINY_K, pad) * 0, st[1]),
           g, (fidx_t, peel))
 
 
