@@ -323,7 +323,7 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
                 print(f"  {'spgemm':10s} {ms:10.1f} ms  (chunked x"
                       f"{len(cplan.chunks)}, plan {plan_s:.0f}s, "
                       f"{products/1e6:.0f}M products)", flush=True)
-            else:
+            elif not static_ok:
                 print(f"  {'spgemm':10s} skipped ({products/1e6:.0f}M "
                       f"products exceed int32 addressing/HBM)")
                 out.append({"algorithm": "spgemm", "dataset": ds,
