@@ -22,8 +22,7 @@ from essentials_tpu.graph.graph import Graph
 from essentials_tpu.ops import advance, Combine
 from essentials_tpu.ops.sparse_advance import (
     spray_enabled, compact_frontier, frontier_out_degree, spray_candidates,
-    spray_dedup, SPRAY_BUDGET, SPRAY_K, TINY_BUDGET, TINY_K,
-    BIG_BUDGET, BIG_K)
+    spray_dedup, SPRAY_BUDGET, SPRAY_K, TINY_BUDGET, TINY_K)
 
 
 class KcoreState(NamedTuple):
@@ -31,7 +30,7 @@ class KcoreState(NamedTuple):
     degrees: jax.Array      # int32[Vp] remaining degree
     alive: jax.Array        # bool[Vp]
     k: jax.Array            # current peeling level
-    fidx: jax.Array         # int32[BIG_K] peel-candidate tracking list
+    fidx: jax.Array         # int32[SPRAY_K] peel-candidate tracking list
     fvalid: jax.Array       # bool: fidx is a superset of the next peel set
 
 
@@ -45,7 +44,7 @@ def init(g: Graph) -> KcoreState:
     deg = jnp.where(g.vertex_mask(), g.out_degrees(), 0).astype(jnp.int32)
     core = jnp.zeros(g.n_vertices_padded, jnp.int32)
     return KcoreState(core, deg, g.vertex_mask(), jnp.asarray(1, jnp.int32),
-                      jnp.full(BIG_K, g.pad_vertex, jnp.int32),
+                      jnp.full(SPRAY_K, g.pad_vertex, jnp.int32),
                       jnp.asarray(False))
 
 
@@ -72,7 +71,7 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
     core = jnp.where(peel, k - 1, core)
     alive = alive & ~peel
 
-    nofidx = jnp.full(BIG_K, pad, jnp.int32)
+    nofidx = jnp.full(SPRAY_K, pad, jnp.int32)
 
     def dense(_):
         out = advance(g, lambda e: 1, peel,
@@ -103,9 +102,9 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
                     valid.astype(jnp.int32), mode="drop")
                 # track the touched neighbors for the next wave's filter
                 _, nidx, ncnt = spray_dedup(nb, valid, kk, pad)
-                if kk < BIG_K:
+                if kk < SPRAY_K:
                     nidx = jnp.concatenate(
-                        [nidx, jnp.full(BIG_K - kk, pad, jnp.int32)])
+                        [nidx, jnp.full(SPRAY_K - kk, pad, jnp.int32)])
                 return removed, nidx, ncnt <= kk
             return go
 
@@ -119,20 +118,15 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
         sumdeg = jnp.sum(jnp.where(peel, deg0, 0))
         tiny_ok = fvalid & (cnt <= TINY_K) & (sumdeg <= TINY_BUDGET) & \
             jnp.all(fidx[TINY_K:] == pad)
-        # a valid tracking list longer than a tier's capacity must not
-        # enter that tier (the kk-sized filter would miss candidates)
-        fit_spray = ~fvalid | jnp.all(fidx[SPRAY_K:] == pad)
-        spray_ok = (cnt <= SPRAY_K) & (sumdeg <= SPRAY_BUDGET) & fit_spray
-        big_ok = (cnt <= BIG_K) & (sumdeg <= BIG_BUDGET)
         branch = jnp.where(cnt == 0, 0,
                            jnp.where(tiny_ok, 1,
-                                     jnp.where(spray_ok, 2,
-                                               jnp.where(big_ok, 3, 4))))
+                                     jnp.where((cnt <= SPRAY_K)
+                                               & (sumdeg <= SPRAY_BUDGET),
+                                               2, 3)))
         removed_nbrs, fidx, fvalid = jax.lax.switch(
             branch.astype(jnp.int32),
             [skip, spray_tier(TINY_BUDGET, TINY_K),
-             spray_tier(SPRAY_BUDGET, SPRAY_K),
-             spray_tier(BIG_BUDGET, BIG_K), dense], None)
+             spray_tier(SPRAY_BUDGET, SPRAY_K), dense], None)
     else:
         removed_nbrs, fidx, fvalid = jax.lax.cond(cnt == 0, skip, dense,
                                                   None)

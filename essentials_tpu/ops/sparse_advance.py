@@ -155,13 +155,6 @@ SPRAY_K = 1 << 14             # index-list capacity
 # the fixed gather/sort costs that scale with the budget, not the frontier
 TINY_BUDGET = 1 << 12
 TINY_K = 1 << 11
-# big tier (kcore r4): at rmat20, 127 of 636 peel waves exceed the 2^15
-# budget and went dense (~3.5 ms each); a 2^17 tier catches 80 of them at
-# ~1-1.5 ms (host wave-histogram analysis, STATUS.md r4). Costs here are
-# scatter-dominated, so the tier still beats dense only because its
-# budget is 256x smaller than the edge axis.
-BIG_BUDGET = 1 << 17
-BIG_K = 1 << 16
 
 
 def frontier_degree_sum(g: Graph, frontier: jax.Array) -> jax.Array:

@@ -279,25 +279,3 @@ def test_spgemm_chunked_vs_cpu():
                                       err_msg=f"wc={wc}")
         np.testing.assert_allclose(res.c.values, ref.values, rtol=1e-4,
                                    atol=1e-5, err_msg=f"wc={wc}")
-
-
-def test_kcore_big_tier_matches_reference(monkeypatch):
-    """Force waves through the BIG spray tier by shrinking the tiny/spray
-    caps to trivial sizes — every non-empty wave must then take the
-    big-tier branch (or dense), and core numbers stay exact."""
-    import numpy as np
-    from essentials_tpu.algorithms import kcore
-    from essentials_tpu.formats import Csr
-    from essentials_tpu.graph import build_graph
-    from essentials_tpu.io import generate
-    monkeypatch.setattr(kcore, "TINY_BUDGET", 2)
-    monkeypatch.setattr(kcore, "TINY_K", 2)
-    monkeypatch.setattr(kcore, "SPRAY_BUDGET", 4)
-    monkeypatch.setattr(kcore, "SPRAY_K", 4)
-    coo = generate.rmat(9, 8, seed=3, undirected=True, weighted=False)
-    csr = Csr.from_coo(coo)
-    g = build_graph(csr, directed=False, weighted=False)
-    res = kcore.run(g, warmup=False, variant="adaptive",
-                    spray_override=True)
-    ref = kcore.cpu_reference(csr)
-    assert np.array_equal(np.asarray(res.core), ref)
