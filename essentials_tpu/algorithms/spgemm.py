@@ -226,10 +226,64 @@ class ChunkedPlan:
     c_col_indices: np.ndarray
 
 
+def _chunked_plan_cache_key(a: Csr, b: Csr, chunk_products, chunk_edges):
+    """Content hash of the STRUCTURES (values don't matter)."""
+    import hashlib
+    h = hashlib.sha256()
+    for arr in (a.row_offsets, a.col_indices, b.row_offsets,
+                b.col_indices):
+        h.update(np.ascontiguousarray(np.asarray(arr, np.int64)).tobytes())
+    h.update(np.int64([a.n_rows, a.n_cols, b.n_rows, b.n_cols,
+                       chunk_products, chunk_edges]).tobytes())
+    return h.hexdigest()[:24]
+
+
 def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
-                      chunk_edges: int = 1 << 22) -> ChunkedPlan | None:
+                      chunk_edges: int = 1 << 22,
+                      cache_dir: str | None = None) -> ChunkedPlan | None:
     """Streamed symbolic phase: chunk boundaries + exact C structure,
-    O(chunk) peak memory."""
+    O(chunk) peak memory.
+
+    The phase is host-compute-heavy (~14 min at kron_s16's 1.2e9
+    products) but structure-static: pass ``cache_dir`` (or set
+    ESSENTIALS_TPU_PLAN_CACHE) to persist/reuse it as one .npz keyed by
+    a content hash of both sparsity patterns."""
+    import os
+    cache_dir = cache_dir or os.environ.get("ESSENTIALS_TPU_PLAN_CACHE")
+    cpath = None
+    if cache_dir:
+        key = _chunked_plan_cache_key(a, b, chunk_products, chunk_edges)
+        cpath = os.path.join(cache_dir, f"spgemm_chunked_{key}.npz")
+        if os.path.exists(cpath):
+            z = np.load(cpath)
+            return ChunkedPlan(
+                n_products=int(z["n_products"]), Wc=int(z["Wc"]),
+                Ecap=int(z["Ecap"]),
+                chunks=tuple(map(tuple, z["chunks"].tolist())),
+                c_dev_total=int(z["c_dev_total"]),
+                merge_order=z["merge_order"],
+                merge_offsets=z["merge_offsets"],
+                c_row_offsets=z["c_row_offsets"],
+                c_col_indices=z["c_col_indices"])
+    plan = _make_chunked_plan_impl(a, b, chunk_products, chunk_edges)
+    if plan is not None and cpath:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cpath + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez(f, n_products=plan.n_products, Wc=plan.Wc,
+                     Ecap=plan.Ecap,
+                     chunks=np.asarray(plan.chunks, np.int64),
+                     c_dev_total=plan.c_dev_total,
+                     merge_order=plan.merge_order,
+                     merge_offsets=plan.merge_offsets,
+                     c_row_offsets=plan.c_row_offsets,
+                     c_col_indices=plan.c_col_indices)
+        os.replace(tmp, cpath)
+    return plan
+
+
+def _make_chunked_plan_impl(a: Csr, b: Csr, chunk_products: int,
+                            chunk_edges: int) -> ChunkedPlan | None:
     throw_if(a.n_cols != b.n_rows, "spgemm: inner dimensions disagree")
     a_cols = np.asarray(a.col_indices, np.int64)
     b_off = np.asarray(b.row_offsets, np.int64)
