@@ -20,7 +20,8 @@ def main():
           f"({time.perf_counter() - t0:.0f}s)", flush=True)
 
     t0 = time.perf_counter()
-    plan = SG.make_chunked_plan(a, a, chunk_products=wc)
+    plan = SG.make_chunked_plan(a, a, chunk_products=wc,
+                                cache_dir="datasets/.plan_cache")
     sym = time.perf_counter() - t0
     print(f"symbolic: {sym:.1f}s  products={plan.n_products} "
           f"chunks={len(plan.chunks)} Ecap={plan.Ecap} "

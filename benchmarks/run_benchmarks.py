@@ -303,7 +303,8 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
                 from essentials_tpu.algorithms import spgemm as SG
                 import time as _time
                 t0 = _time.perf_counter()
-                cplan = SG.make_chunked_plan(csr, csr)
+                cplan = SG.make_chunked_plan(
+                    csr, csr, cache_dir="datasets/.plan_cache")
                 plan_s = _time.perf_counter() - t0
                 SG.numeric_chunked(cplan, csr, csr)          # warm
                 t0 = _time.perf_counter()
