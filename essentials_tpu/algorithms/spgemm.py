@@ -30,6 +30,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from essentials_tpu.formats.csr import Csr
 from essentials_tpu.errors import throw_if
@@ -395,17 +396,17 @@ def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
     bs_sl = jax.lax.dynamic_slice(b_startd, (e0,), (Ecap,))
     a_e = expand(a_sl)
     row = expand(r_sl)
-    bstart_e = expand(bs_sl)
-    estart_e = expand(wcs[:Ecap].astype(jnp.int32))
     s = jnp.arange(Wc, dtype=jnp.int32)
     valid = s < npc
+    # b values/cols by b-edge id: direct XLA gather. NOTE a per-A-edge
+    # contiguous DMA-copy kernel was attempted (b_eid is
+    # piecewise-contiguous) and is NOT expressible: Mosaic requires
+    # 1024-element alignment of BOTH offset and size for 1-D HBM DMA
+    # slices, and src/dst offsets here are arbitrary.
+    bstart_e = expand(bs_sl)
+    estart_e = expand(wcs[:Ecap].astype(jnp.int32))
     b_eid = jnp.where(valid, bstart_e + (s - estart_e), nb)
-
-    # direct XLA gather of b values + columns by b_eid (~7.5 ns/elem —
-    # measured 10-20x cheaper at 2^25 than the tagged-sort gather this
-    # replaced: device sorts at 33M run ~75 ns/elem, not the ~2 ns/elem
-    # the 2M-element microbench suggested)
-    bv_e = b_bits[b_eid]                 # b padded with one sentinel slot
+    bv_e = b_bits[b_eid]
     col = b_colsd[b_eid]
 
     prod = jax.lax.bitcast_convert_type(a_e, jnp.float32) * \
