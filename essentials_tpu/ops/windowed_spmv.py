@@ -1,0 +1,276 @@
+"""Windowed SpMV: y = A @ x in THREE kernels (design: docs/
+windowed_spmv_design.md; feasibility probes: benchmarks/
+probe_windowed_spmv.py, both bit-exact on chip).
+
+The 7-kernel chain (ops/fused_spmv.py) spends 4 of its kernels moving
+vertex-sized information across full-length routes (expand x over the
+CSC offsets, pick boundaries over the CSR offsets). This module replaces
+both with per-slab machinery:
+
+  K1w  window-slice the VMEM-resident compacted-x diff table at a static
+       8-row-aligned offset, place diffs at segment starts with a
+       PER-SLAB static Benes permutation, telescoping int32 cumsum
+       (SMEM carry), multiply by the CSC-ordered weights, and start the
+       CSC->CSR route (gather c / transpose / gather b)
+  K2   the route's middle kernel, unchanged
+  K3w  finish the route, segmented f32 sum over the CSR flags, move each
+       segment-END sum to a compact output prefix with a per-slab
+       INVERSE placement permutation, write at an aligned compact offset
+       (ascending overlapping windows)
+
+plus cheap vertex-axis pre/post compaction routes. ~40 B/edge vs the
+chain's ~77.
+
+Reference parity: gunrock::spmv via mgpu transform_segreduce
+(/root/reference/include/gunrock/algorithms/spmv.hxx:106-126).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LANES = 128
+SLAB = 8 * LANES * LANES          # 131072 positions per slab
+SLAB_ROWS = SLAB // LANES         # 1024
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["xc_perm", "dxc_pad_rows", "row0", "win_lo",
+                      "win_hi", "p_stages", "q_stages", "cb8",
+                      "y_src_rank", "y_mask", "w_csc_l", "flags_l"],
+         meta_fields=["G", "L", "n_cseg", "n_rseg", "vp", "q_spans"])
+@dataclass(frozen=True)
+class WindowedSpmvPlan:
+    """Per-graph static structure for the 3-kernel SpMV."""
+    G: int                    # slabs (= route M // 8)
+    L: int                    # route length (padded edge axis)
+    n_cseg: int               # nonempty CSC segments (compacted x len)
+    n_rseg: int               # nonempty CSR segments (compact y len)
+    vp: int                   # padded vertex count
+    q_spans: tuple            # per-slab (offset, len) of the REAL compact span
+    xc_perm: jax.Array        # int32[vp]: xc[i] = x[xc_perm[i]] (gather)
+    dxc_pad_rows: int         # rows of the resident dxc table
+    row0: jax.Array           # int32[G] aligned window row offsets
+    win_lo: jax.Array         # int32[G] used window slot range [lo, hi]
+    win_hi: jax.Array         # (slots outside hold OTHER slabs' diffs —
+                              #  masked to 0 before the placement perm so
+                              #  filler positions read zeros)
+    p_stages: tuple           # 5 stacked [G, ...] placement stages
+    q_stages: tuple           # 5 stacked [G, ...] compact stages
+    cb8: jax.Array            # int32[G] aligned compact out block rows
+    y_src_rank: jax.Array     # int32[vp]: compact slot per vertex (CSR)
+    y_mask: jax.Array         # bool[vp]: vertex has a nonempty CSR seg
+    w_csc_l: jax.Array        # f32[L] weights in CSC order (pad -> 0)
+    flags_l: jax.Array        # int8[L] CSR segment-start flags (pad -> 1)
+
+
+def _slab_perm(src_of_pos: np.ndarray) -> np.ndarray:
+    """Complete a partial gather map over [SLAB] into a permutation:
+    positions with src >= 0 keep their source; the rest take the unused
+    sources in ascending order."""
+    used = np.zeros(SLAB, bool)
+    sel = src_of_pos >= 0
+    used[src_of_pos[sel]] = True
+    free = np.nonzero(~used)[0]
+    out = src_of_pos.copy()
+    out[~sel] = free
+    return out
+
+
+def build_windowed_plan(g) -> WindowedSpmvPlan | None:
+    """Host symbolic phase. None when unsupported: no cube route, dxc
+    table too big for VMEM residency, or a slab's rank span exceeds the
+    window (near-all-degree-1 regions) — callers fall back to the
+    chain variant."""
+    from essentials_tpu.ops.cube_router import CubePlan, build_cube_plan
+
+    if not isinstance(g.route_bwd, CubePlan) or g.csc_values is None:
+        return None
+    L = g.route_bwd.length
+    if L % SLAB != 0:
+        return None
+    G = L // SLAB
+    vp = g.n_vertices_padded
+    ep = g.n_edges_padded
+
+    csc_off = np.asarray(g.csc_offsets, np.int64)
+    csr_off = np.asarray(g.row_offsets, np.int64)
+
+    # ---- CSC side: ranks of nonempty segments, per-position rank ----
+    clen = np.diff(csc_off)
+    nonempty_c = np.nonzero(clen > 0)[0]
+    n_cseg = int(nonempty_c.shape[0])
+    if (n_cseg + 1) * 4 > 6 * 1024 * 1024:     # dxc residency gate (~6MB)
+        return None
+    # rank at each segment START position (only starts get placements)
+    start_pos = csc_off[nonempty_c]                      # ascending
+    ranks = np.arange(n_cseg, dtype=np.int64)
+
+    # per-slab window base + placement perms
+    row0 = np.zeros(G, np.int64)
+    win_lo = np.zeros(G, np.int64)
+    win_hi = np.full(G, -1, np.int64)
+    p_perms = np.empty((G, SLAB), np.int64)
+    # rank of the segment COVERING each slab start (for carry continuity
+    # nothing needed on host — the int32 carry handles it)
+    lo_idx = np.searchsorted(start_pos, np.arange(G, dtype=np.int64) * SLAB)
+    hi_idx = np.searchsorted(start_pos,
+                             (np.arange(G, dtype=np.int64) + 1) * SLAB)
+    for s in range(G):
+        a, b = int(lo_idx[s]), int(hi_idx[s])
+        src = np.full(SLAB, -1, np.int64)
+        if b > a:
+            r_first, r_last = int(ranks[a]), int(ranks[b - 1])
+            # 1024-aligned (8 rows) base covering [r_first, r_last]
+            base = min(r_first, max(0, r_last - SLAB + 1))
+            base = base // 1024 * 1024
+            if r_last - base >= SLAB:
+                return None                  # spill: fall back
+            row0[s] = base // LANES
+            win_lo[s] = r_first - base
+            win_hi[s] = r_last - base
+            src[start_pos[a:b] - s * SLAB] = ranks[a:b] - base
+        else:
+            row0[s] = 0
+        p_perms[s] = _slab_perm(src)
+
+    # ---- CSR side: segment ends -> compact prefix ----
+    rlen = np.diff(csr_off)
+    nonempty_r = np.nonzero(rlen > 0)[0]
+    n_rseg = int(nonempty_r.shape[0])
+    end_pos = csr_off[nonempty_r + 1] - 1                # ascending
+    r_ranks = np.arange(n_rseg, dtype=np.int64)
+    cb8 = np.zeros(G, np.int64)
+    q_perms = np.empty((G, SLAB), np.int64)
+    q_spans = []
+    elo = np.searchsorted(end_pos, np.arange(G, dtype=np.int64) * SLAB)
+    ehi = np.searchsorted(end_pos,
+                          (np.arange(G, dtype=np.int64) + 1) * SLAB)
+    for s in range(G):
+        a, b = int(elo[s]), int(ehi[s])
+        src = np.full(SLAB, -1, np.int64)
+        if b > a:
+            r_first, r_last = int(r_ranks[a]), int(r_ranks[b - 1])
+            base = min(r_first, max(0, r_last - SLAB + 1))
+            base = base // 1024 * 1024
+            if r_last - base >= SLAB:
+                return None                  # spill: fall back
+            cb8[s] = base // LANES
+            # compact slot (rank - base) takes the slab END position
+            src[r_ranks[a:b] - base] = end_pos[a:b] - s * SLAB
+            q_spans.append((r_first - base, r_last - r_first + 1))
+        else:
+            cb8[s] = 0
+            q_spans.append((0, 0))
+        q_perms[s] = _slab_perm(src)
+
+    # stack per-slab cube plans (wbc-8 stage layout, see probe)
+    def stack_plans(perms):
+        plans = [build_cube_plan(p) for p in perms]
+        return tuple(
+            jnp.asarray(np.stack([np.asarray(pl.stages[i])
+                                  for pl in plans]))
+            for i in range(5))
+
+    p_stages = stack_plans(p_perms)
+    q_stages = stack_plans(q_perms)
+
+    # vertex-axis compaction maps (cheap device gathers at V scale)
+    xc_perm = np.zeros(vp, np.int64)
+    xc_perm[:n_cseg] = nonempty_c
+    y_src_rank = np.zeros(vp, np.int64)
+    y_src_rank[nonempty_r] = r_ranks
+    y_mask = np.zeros(vp, bool)
+    y_mask[nonempty_r] = True
+
+    dxc_pad_rows = SLAB_ROWS * ((n_cseg + SLAB - 1) // SLAB + 1)
+
+    w = np.asarray(g.csc_values, np.float32).copy()
+    w[g.n_edges:] = 0.0
+    w_l = np.zeros(L, np.float32)
+    w_l[:ep] = w
+    flags_l = np.ones(L, np.int8)
+    flags_l[:ep] = np.asarray(g.csr_seg_flags).astype(np.int8)
+
+    return WindowedSpmvPlan(
+        G=G, L=L, n_cseg=n_cseg, n_rseg=n_rseg, vp=vp,
+        q_spans=tuple(q_spans),
+        xc_perm=jnp.asarray(xc_perm.astype(np.int32)),
+        dxc_pad_rows=dxc_pad_rows,
+        row0=jnp.asarray(row0.astype(np.int32)),
+        win_lo=jnp.asarray(win_lo.astype(np.int32)),
+        win_hi=jnp.asarray(win_hi.astype(np.int32)),
+        p_stages=p_stages, q_stages=q_stages,
+        cb8=jnp.asarray(cb8.astype(np.int32)),
+        y_src_rank=jnp.asarray(y_src_rank.astype(np.int32)),
+        y_mask=jnp.asarray(y_mask),
+        w_csc_l=jnp.asarray(w_l), flags_l=jnp.asarray(flags_l))
+
+
+# ------------------------------------------------------------------ #
+# reference algebra (CPU tests mirror the kernel stages exactly)
+
+def _apply_slab_perm_ref(win_flat, stages, s):
+    from essentials_tpu.ops.cube_router import CubePlan, _ref_apply
+    plan = CubePlan(stages=tuple(np.asarray(st[s]) for st in stages),
+                    form="wbc", length=SLAB, wide=8)
+    return _ref_apply(win_flat, plan)
+
+
+def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
+    """Stage-exact jnp replay of the windowed pipeline (no Pallas)."""
+    from essentials_tpu.ops.cube_router import _ref_apply
+    from essentials_tpu.ops.scan_kernels import segmented_scan
+
+    L, G = plan.L, plan.G
+    x = x.astype(jnp.float32)
+    if x.shape[0] < plan.vp:
+        x = jnp.pad(x, (0, plan.vp - x.shape[0]))
+    xc = x[plan.xc_perm]                                 # compact (CSC)
+    bits = jax.lax.bitcast_convert_type(xc, jnp.int32)
+    dxc = jnp.diff(bits, prepend=jnp.zeros(1, jnp.int32))
+    dxc = jnp.pad(dxc, (0, plan.dxc_pad_rows * LANES - dxc.shape[0]))
+
+    # K1w algebra: window + placement + global cumsum + multiply
+    placed = []
+    iota = jnp.arange(SLAB, dtype=jnp.int32)
+    for s in range(G):
+        win = jax.lax.dynamic_slice(dxc, (plan.row0[s] * LANES,), (SLAB,))
+        win = jnp.where((iota >= plan.win_lo[s]) & (iota <= plan.win_hi[s]),
+                        win, 0)
+        placed.append(_apply_slab_perm_ref(win, plan.p_stages, s))
+    placed = jnp.concatenate(placed)
+    x_exp = jax.lax.bitcast_convert_type(jnp.cumsum(placed), jnp.float32)
+    prod = x_exp * plan.w_csc_l
+    routed = jax.lax.bitcast_convert_type(
+        _ref_apply(jax.lax.bitcast_convert_type(prod, jnp.int32),
+                   g.route_bwd), jnp.float32)
+
+    # K3w algebra: segmented sum + per-slab compact writes. The ref
+    # writes each slab's EXACT real compact span (host-static slices), so
+    # no window garbage exists here; the kernel path instead writes full
+    # overlapping windows and needs the static repair route (see the
+    # design doc's "overlap damage" section).
+    sums = segmented_scan(routed, plan.flags_l != 0, "add")
+    yc = jnp.zeros(plan.n_rseg + SLAB, jnp.float32)
+    cb8 = np.asarray(plan.cb8)
+    spans = plan.q_spans
+    for s in range(G):
+        lo, ln = spans[s]
+        if ln == 0:
+            continue
+        slab = jax.lax.bitcast_convert_type(
+            sums[s * SLAB:(s + 1) * SLAB], jnp.int32)
+        comp = jax.lax.bitcast_convert_type(
+            _apply_slab_perm_ref(slab, plan.q_stages, s), jnp.float32)
+        yc = jax.lax.dynamic_update_slice(
+            yc, jax.lax.slice(comp, [lo], [lo + ln]),
+            (int(cb8[s]) * LANES + lo,))
+    y = jnp.where(plan.y_mask, yc[plan.y_src_rank], 0.0)
+    return y[:plan.vp]
+
