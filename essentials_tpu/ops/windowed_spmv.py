@@ -40,10 +40,12 @@ SLAB_ROWS = SLAB // LANES         # 1024
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["xc_perm", "dxc_pad_rows", "row0", "win_lo",
-                      "win_hi", "p_stages", "q_stages", "cb8",
+         data_fields=["xc_perm", "xc_route", "y_route",
+                      "row0", "win_lo",
+                      "win_hi", "p_stages", "q_stages",
                       "y_src_rank", "y_mask", "w_csc_l", "flags_l"],
-         meta_fields=["G", "L", "n_cseg", "n_rseg", "vp", "q_spans"])
+         meta_fields=["G", "L", "n_cseg", "n_rseg", "vp", "q_spans",
+                      "dxc_pad_rows"])
 @dataclass(frozen=True)
 class WindowedSpmvPlan:
     """Per-graph static structure for the 3-kernel SpMV."""
@@ -52,8 +54,11 @@ class WindowedSpmvPlan:
     n_cseg: int               # nonempty CSC segments (compacted x len)
     n_rseg: int               # nonempty CSR segments (compact y len)
     vp: int                   # padded vertex count
-    q_spans: tuple            # per-slab (offset, len) of the REAL compact span
+    q_spans: tuple            # per-slab (cb8_row, offset, len): REAL
+                              # compact span + aligned out base (host)
     xc_perm: jax.Array        # int32[vp]: xc[i] = x[xc_perm[i]] (gather)
+    xc_route: object          # PermutePlan: x -> compact prefix (device)
+    y_route: object           # PermutePlan: compact y -> vertex slots
     dxc_pad_rows: int         # rows of the resident dxc table
     row0: jax.Array           # int32[G] aligned window row offsets
     win_lo: jax.Array         # int32[G] used window slot range [lo, hi]
@@ -62,7 +67,6 @@ class WindowedSpmvPlan:
                               #  filler positions read zeros)
     p_stages: tuple           # 5 stacked [G, ...] placement stages
     q_stages: tuple           # 5 stacked [G, ...] compact stages
-    cb8: jax.Array            # int32[G] aligned compact out block rows
     y_src_rank: jax.Array     # int32[vp]: compact slot per vertex (CSR)
     y_mask: jax.Array         # bool[vp]: vertex has a nonempty CSR seg
     w_csc_l: jax.Array        # f32[L] weights in CSC order (pad -> 0)
@@ -163,10 +167,11 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
             cb8[s] = base // LANES
             # compact slot (rank - base) takes the slab END position
             src[r_ranks[a:b] - base] = end_pos[a:b] - s * SLAB
-            q_spans.append((r_first - base, r_last - r_first + 1))
+            q_spans.append((int(base // LANES), r_first - base,
+                            r_last - r_first + 1))
         else:
             cb8[s] = 0
-            q_spans.append((0, 0))
+            q_spans.append((0, 0, 0))
         q_perms[s] = _slab_perm(src)
 
     # stack per-slab cube plans (wbc-8 stage layout, see probe)
@@ -180,13 +185,28 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
     p_stages = stack_plans(p_perms)
     q_stages = stack_plans(q_perms)
 
-    # vertex-axis compaction maps (cheap device gathers at V scale)
+    # vertex-axis compaction maps: reference algebra uses the gather
+    # arrays; the device path uses small V-axis routes (arbitrary
+    # V-gathers serialize at ~7.5 ns/elem on TPU)
+    from essentials_tpu.ops.permute import route_permutation
     xc_perm = np.zeros(vp, np.int64)
     xc_perm[:n_cseg] = nonempty_c
+    xg = np.full(vp, -1, np.int64)
+    xg[:n_cseg] = nonempty_c
+    used = np.zeros(vp, bool)
+    used[nonempty_c] = True
+    xg[n_cseg:] = np.nonzero(~used)[0]
+    xc_route = route_permutation(xg)
     y_src_rank = np.zeros(vp, np.int64)
     y_src_rank[nonempty_r] = r_ranks
     y_mask = np.zeros(vp, bool)
     y_mask[nonempty_r] = True
+    yg = np.full(vp, -1, np.int64)
+    yg[nonempty_r] = r_ranks
+    usedr = np.zeros(vp, bool)
+    usedr[:n_rseg] = True
+    yg[yg < 0] = np.nonzero(~usedr)[0][:int((yg < 0).sum())]
+    y_route = route_permutation(yg)
 
     dxc_pad_rows = SLAB_ROWS * ((n_cseg + SLAB - 1) // SLAB + 1)
 
@@ -201,12 +221,12 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
         G=G, L=L, n_cseg=n_cseg, n_rseg=n_rseg, vp=vp,
         q_spans=tuple(q_spans),
         xc_perm=jnp.asarray(xc_perm.astype(np.int32)),
+        xc_route=xc_route, y_route=y_route,
         dxc_pad_rows=dxc_pad_rows,
         row0=jnp.asarray(row0.astype(np.int32)),
         win_lo=jnp.asarray(win_lo.astype(np.int32)),
         win_hi=jnp.asarray(win_hi.astype(np.int32)),
         p_stages=p_stages, q_stages=q_stages,
-        cb8=jnp.asarray(cb8.astype(np.int32)),
         y_src_rank=jnp.asarray(y_src_rank.astype(np.int32)),
         y_mask=jnp.asarray(y_mask),
         w_csc_l=jnp.asarray(w_l), flags_l=jnp.asarray(flags_l))
@@ -258,10 +278,8 @@ def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
     # design doc's "overlap damage" section).
     sums = segmented_scan(routed, plan.flags_l != 0, "add")
     yc = jnp.zeros(plan.n_rseg + SLAB, jnp.float32)
-    cb8 = np.asarray(plan.cb8)
-    spans = plan.q_spans
     for s in range(G):
-        lo, ln = spans[s]
+        cb, lo, ln = plan.q_spans[s]
         if ln == 0:
             continue
         slab = jax.lax.bitcast_convert_type(
@@ -270,7 +288,186 @@ def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
             _apply_slab_perm_ref(slab, plan.q_stages, s), jnp.float32)
         yc = jax.lax.dynamic_update_slice(
             yc, jax.lax.slice(comp, [lo], [lo + ln]),
-            (int(cb8[s]) * LANES + lo,))
+            (cb * LANES + lo,))
     y = jnp.where(plan.y_mask, yc[plan.y_src_rank], 0.0)
     return y[:plan.vp]
 
+
+
+# ------------------------------------------------------------------ #
+# Pallas kernels (TPU path)
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _k1w_kernel(row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2, s3, s4,
+                w_ref, i0b_ref, i1b_ref, o_ref, carry):
+    """Window + mask + per-slab placement perm + telescoping cumsum +
+    multiply + route head, one slab per grid step (grid (G, 1))."""
+    from essentials_tpu.ops.cube_router import _g2, _block_cumsum
+    g = pl.program_id(0)
+
+    r0 = pl.multiple_of(row0_ref[g], 8)
+    win = dxc_ref[pl.ds(r0, SLAB_ROWS), :]                # [1024, 128]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+    idx = row_i * LANES + lane_i
+    win = jnp.where((idx >= lo_ref[g]) & (idx <= hi_ref[g]), win, 0)
+
+    a = win.reshape(8, LANES, LANES)                      # [W, B, C]
+    a = _g2(a, s0[0])
+    a = jnp.swapaxes(a, 1, 2)                             # [W, C, B]
+    a = _g2(a, s1[0])
+    a = jnp.transpose(a, (1, 2, 0))                       # [C, B, W]
+    iw = s2[0].astype(jnp.int32)
+    acc = jnp.zeros_like(a)
+    for t in range(8):                                    # wide-8 select
+        acc = jnp.where(iw == t, a[:, :, t:t + 1], acc)
+    a = jnp.swapaxes(acc, 1, 2)                           # [C, W, B]
+    a = _g2(a, s3[0])
+    a = jnp.transpose(a, (1, 2, 0))                       # [W, B, C]
+    placed = _g2(a, s4[0])
+
+    x = _block_cumsum(placed, carry, False, False)        # telescoping
+    xf = jax.lax.bitcast_convert_type(x, jnp.float32)
+    prod = xf * w_ref[0]
+    x = jax.lax.bitcast_convert_type(prod, jnp.int32)
+    x = _g2(x, i0b_ref[...])                              # route head
+    x = jnp.swapaxes(x, 1, 2)
+    x = _g2(x, i1b_ref[...])
+    o_ref[0] = jnp.swapaxes(x, 0, 1)                      # [C, 8, B]
+
+
+def _k3w_kernel(x_ref, i6b_ref, f_ref, q0, q1, q2, q3, q4, o_ref,
+                carry_v, carry_f):
+    """Route tail + segmented f32 sum + per-slab compact perm into a
+    PRIVATE [G, SLAB] output (non-overlapping; host-static spans are
+    merged afterwards). Grid (G, 1) ascending."""
+    from essentials_tpu.ops.cube_router import _g2
+    from essentials_tpu.ops.scan_kernels import _block_scan
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_v[0] = jnp.float32(0)
+        carry_f[0] = jnp.int32(0)
+
+    x = x_ref[0]                                          # [C, 8, B]
+    x = jnp.swapaxes(x, 0, 1)
+    x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
+    x = _g2(x, i6b_ref[...])
+    v = jax.lax.bitcast_convert_type(
+        x.reshape(SLAB_ROWS, LANES), jnp.float32)
+    f = f_ref[0].reshape(SLAB_ROWS, LANES).astype(jnp.int32)
+    sv, sf, (bv, bf) = _block_scan(v, f, jnp.add, jnp.float32(0), True)
+    cv, cf = carry_v[0], carry_f[0]
+    sums = jnp.where(sf > 0, sv, sv + cv)
+    carry_v[0] = jnp.where(bf > 0, bv, cv + bv)
+    carry_f[0] = bf | cf
+
+    a = jax.lax.bitcast_convert_type(sums, jnp.int32) \
+        .reshape(8, LANES, LANES)
+    a = _g2(a, q0[0])
+    a = jnp.swapaxes(a, 1, 2)
+    a = _g2(a, q1[0])
+    a = jnp.transpose(a, (1, 2, 0))
+    iw = q2[0].astype(jnp.int32)
+    acc = jnp.zeros_like(a)
+    for t in range(8):
+        acc = jnp.where(iw == t, a[:, :, t:t + 1], acc)
+    a = jnp.swapaxes(acc, 1, 2)
+    a = _g2(a, q3[0])
+    a = jnp.transpose(a, (1, 2, 0))
+    o_ref[0] = _g2(a, q4[0])                              # [8, B, C]
+
+
+def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
+    """TPU path: 3 Pallas kernels + V-axis compaction routes."""
+    from essentials_tpu.ops.cube_router import _plan_kparts, _MSLAB
+    from essentials_tpu.ops.permute import apply_plan
+
+    L, G = plan.L, plan.G
+    x = x.astype(jnp.float32)
+    if x.shape[0] < plan.vp:
+        x = jnp.pad(x, (0, plan.vp - x.shape[0]))
+    xc = apply_plan(x, plan.xc_route)                     # compact prefix
+    bits = jax.lax.bitcast_convert_type(xc, jnp.int32)
+    dxc = jnp.diff(bits, prepend=jnp.zeros(1, jnp.int32))
+    dxc = jnp.where(jnp.arange(dxc.shape[0]) <= plan.n_cseg, dxc, 0)
+    dxc = jnp.pad(dxc, (0, plan.dxc_pad_rows * LANES - dxc.shape[0]))
+    dxc2 = dxc.reshape(-1, LANES)
+
+    def bs(shp, im):
+        return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
+
+    i0b, i1b, i6b, k2_kernel, k2_idx = _plan_kparts(g.route_bwd, bs)
+    wm = plan.w_csc_l.reshape(G, 8, LANES, LANES)
+    fm = plan.flags_l.reshape(G, 8, LANES, LANES)
+
+    def gmap(shape_nd):
+        return lambda gi, p, *_: (gi,) + (0,) * (shape_nd - 1)
+
+    p_specs = [bs((1,) + tuple(st.shape[1:]), gmap(st.ndim))
+               for st in plan.p_stages]
+    q_specs = [bs((1,) + tuple(st.shape[1:]), gmap(st.ndim))
+               for st in plan.q_stages]
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G, 1),
+        in_specs=[bs((dxc2.shape[0], LANES), lambda gi, p, *_: (0, 0))]
+        + p_specs
+        + [bs((1, 8, LANES, LANES), lambda gi, p, *_: (gi, 0, 0, 0)),
+           bs((_MSLAB, LANES, LANES), lambda gi, p, *_: (gi, 0, 0)),
+           bs((_MSLAB, LANES, LANES), lambda gi, p, *_: (gi, 0, 0))],
+        out_specs=bs((1, LANES, _MSLAB, LANES),
+                     lambda gi, p, *_: (p, 0, gi, 0)),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+    k1 = pl.pallas_call(
+        _k1w_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, LANES, G * _MSLAB, LANES),
+                                       jnp.int32),
+        compiler_params=vmem,
+    )(plan.row0, plan.win_lo, plan.win_hi, dxc2, *plan.p_stages, wm,
+      i0b, i1b)
+
+    M = G * _MSLAB
+    k2 = pl.pallas_call(
+        k2_kernel, grid=(LANES, 1),
+        in_specs=[bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0))]
+        + [spec for _, spec in k2_idx],
+        out_specs=bs((1, 1, M, LANES), lambda c, p: (p, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, LANES, M, LANES), jnp.int32),
+        compiler_params=vmem,
+    )(k1, *[a for a, _ in k2_idx])
+
+    priv = pl.pallas_call(
+        _k3w_kernel, grid=(G, 1),
+        in_specs=[bs((1, LANES, _MSLAB, LANES),
+                     lambda gi, p: (p, 0, gi, 0)),
+                  bs((_MSLAB, LANES, LANES), lambda gi, p: (gi, 0, 0)),
+                  bs((1, 8, LANES, LANES), lambda gi, p: (gi, 0, 0, 0))]
+        + [bs((1,) + tuple(st.shape[1:]),
+              lambda gi, p, nd=st.ndim: (gi,) + (0,) * (nd - 1))
+           for st in plan.q_stages],
+        out_specs=bs((1, 8, LANES, LANES), lambda gi, p: (gi, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, 8, LANES, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        compiler_params=vmem,
+    )(k2, i6b, fm, *plan.q_stages)
+
+    privf = jax.lax.bitcast_convert_type(priv, jnp.float32) \
+        .reshape(G, SLAB)
+    yc = jnp.zeros(plan.vp, jnp.float32)
+    for s in range(G):
+        cb, lo, ln = plan.q_spans[s]
+        if ln == 0:
+            continue
+        yc = jax.lax.dynamic_update_slice(
+            yc, jax.lax.slice(privf[s], [lo], [lo + ln]),
+            (cb * LANES + lo,))
+    y = apply_plan(yc, plan.y_route)
+    return jnp.where(plan.y_mask, y, 0.0)
