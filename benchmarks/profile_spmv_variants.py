@@ -98,5 +98,55 @@ def main():
               f"{sol_bytes / 819e9 * 1e3 / ms:.3f}", flush=True)
 
 
+
+
+def bench_windowed(scale=20, ef=30):
+    """A/B the windowed 3-kernel SpMV vs the 7-kernel chain at scale."""
+    import jax
+    import jax.numpy as jnp
+    from essentials_tpu.formats import Csr
+    from essentials_tpu.graph import build_graph
+    from essentials_tpu.io import generate
+    from essentials_tpu.algorithms import spmv
+    from essentials_tpu.ops import windowed_spmv as W
+
+    t0 = time.perf_counter()
+    coo = generate.rmat(scale, ef, seed=3, undirected=False, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = build_graph(csr, directed=True, weighted=True)
+    print(f"built ({time.perf_counter() - t0:.0f}s)", flush=True)
+    t0 = time.perf_counter()
+    plan = W.build_windowed_plan(g)
+    print(f"windowed plan: {'OK' if plan else 'UNSUPPORTED'} "
+          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    if plan is None:
+        return
+    x0 = jax.random.uniform(jax.random.PRNGKey(0),
+                            (g.n_vertices_padded,), jnp.float32)
+    fw = jax.jit(W.spmv_windowed)
+    yw = np.asarray(fw(g, plan, x0))
+    yp = np.asarray(spmv.spmv_pull(g, x0))[:yw.shape[0]]
+    err = np.max(np.abs(yw - yp) / np.maximum(np.abs(yp), 1e-3))
+    print(f"windowed vs pull max-rel-err: {err:.2e}", flush=True)
+    e = g.n_edges
+    sol_ms = e * 12.0 / 819e9 * 1e3
+
+    def keep(y, x):
+        return x + y[:x.shape[0]] * 1e-9
+
+    ms_w = bench("spmv_windowed (3k)",
+                 lambda g, x, i: keep(fw(g, plan, x), x),
+                 x0, g, n_bytes_model=g.n_edges_padded * 4 * 6)
+    ms_f = bench("spmv_fused (7k chain)",
+                 lambda g, x, i: keep(spmv.spmv_fused(g, x), x),
+                 x0, g, n_bytes_model=g.n_edges_padded * 4 * 14)
+    for name, ms in [("windowed", ms_w), ("fused", ms_f)]:
+        print(f"{name}: {ms:.3f} ms -> pct_hbm_roofline="
+              f"{sol_ms / ms:.3f}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 3 and sys.argv[3] == "win":
+        bench_windowed(int(sys.argv[1]), int(sys.argv[2]))
+    else:
+        main()

@@ -130,9 +130,10 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
         src = np.full(SLAB, -1, np.int64)
         if b > a:
             r_first, r_last = int(ranks[a]), int(ranks[b - 1])
-            # 1024-aligned (8 rows) base covering [r_first, r_last]
-            base = min(r_first, max(0, r_last - SLAB + 1))
-            base = base // 1024 * 1024
+            # largest 1024-aligned (8-row) base still covering r_first:
+            # maximizes headroom for r_last; if even this spills, no
+            # aligned window can cover the slab's rank span
+            base = r_first // 1024 * 1024
             if r_last - base >= SLAB:
                 return None                  # spill: fall back
             row0[s] = base // LANES
@@ -160,8 +161,7 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
         src = np.full(SLAB, -1, np.int64)
         if b > a:
             r_first, r_last = int(r_ranks[a]), int(r_ranks[b - 1])
-            base = min(r_first, max(0, r_last - SLAB + 1))
-            base = base // 1024 * 1024
+            base = r_first // 1024 * 1024
             if r_last - base >= SLAB:
                 return None                  # spill: fall back
             cb8[s] = base // LANES

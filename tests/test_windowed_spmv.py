@@ -27,3 +27,19 @@ def test_windowed_plan_ref_matches_host(directed):
     y = np.asarray(W.spmv_windowed_ref(g, plan, jnp.asarray(x)))
     want = spmv.cpu_reference(csr, x[:csr.n_rows])
     np.testing.assert_allclose(y[:csr.n_rows], want, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_multislab():
+    """Multi-slab coverage (the rmat12 case builds a single slab, which
+    masked a window-base selection bug at rmat20)."""
+    coo = generate.rmat(14, 16, seed=3, undirected=False, weighted=True)
+    csr = Csr.from_coo(coo)
+    g = et.build_graph(csr, directed=True, weighted=True,
+                       build_router=True)
+    plan = W.build_windowed_plan(g)
+    assert plan is not None and plan.G > 1, (plan and plan.G)
+    x = np.random.default_rng(2).standard_normal(
+        g.n_vertices_padded).astype(np.float32)
+    y = np.asarray(W.spmv_windowed_ref(g, plan, jnp.asarray(x)))
+    want = spmv.cpu_reference(csr, x[:csr.n_rows])
+    np.testing.assert_allclose(y[:csr.n_rows], want, rtol=1e-4, atol=1e-4)
