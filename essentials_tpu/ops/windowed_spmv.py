@@ -254,7 +254,9 @@ def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
     xc = x[plan.xc_perm]                                 # compact (CSC)
     bits = jax.lax.bitcast_convert_type(xc, jnp.int32)
     dxc = jnp.diff(bits, prepend=jnp.zeros(1, jnp.int32))
-    dxc = jnp.pad(dxc, (0, plan.dxc_pad_rows * LANES - dxc.shape[0]))
+    need = plan.dxc_pad_rows * LANES
+    dxc = dxc[:need] if dxc.shape[0] >= need \
+        else jnp.pad(dxc, (0, need - dxc.shape[0]))
 
     # K1w algebra: window + placement + global cumsum + multiply
     placed = []
@@ -394,7 +396,9 @@ def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
     bits = jax.lax.bitcast_convert_type(xc, jnp.int32)
     dxc = jnp.diff(bits, prepend=jnp.zeros(1, jnp.int32))
     dxc = jnp.where(jnp.arange(dxc.shape[0]) <= plan.n_cseg, dxc, 0)
-    dxc = jnp.pad(dxc, (0, plan.dxc_pad_rows * LANES - dxc.shape[0]))
+    need = plan.dxc_pad_rows * LANES        # table sized by n_cseg, not vp
+    dxc = dxc[:need] if dxc.shape[0] >= need \
+        else jnp.pad(dxc, (0, need - dxc.shape[0]))
     dxc2 = dxc.reshape(-1, LANES)
 
     def bs(shp, im):
