@@ -174,13 +174,23 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
             q_spans.append((0, 0, 0))
         q_perms[s] = _slab_perm(src)
 
-    # stack per-slab cube plans (wbc-8 stage layout, see probe)
+    # stack per-slab cube plans. Stage layouts are REARRANGED so the
+    # minor axis is always 128 lanes: the natural wbc algebra puts the
+    # 8-wide middle axis minor ([C,B,W]), which Mosaic pads 16x; instead
+    # the kernels keep [W,C,B] and run the w-stage as a LEADING-axis
+    # 8-way select (the tfbc T-stage trick):
+    #   s2p [W,C,B] = s2.transpose(2,0,1);  s3p [W,C,B] = s3.transpose(1,0,2)
     def stack_plans(perms):
         plans = [build_cube_plan(p) for p in perms]
-        return tuple(
-            jnp.asarray(np.stack([np.asarray(pl.stages[i])
-                                  for pl in plans]))
-            for i in range(5))
+        outs = []
+        for i in range(5):
+            arrs = [np.asarray(pl.stages[i]) for pl in plans]
+            if i == 2:
+                arrs = [a.transpose(2, 0, 1).astype(np.int8) for a in arrs]
+            elif i == 3:
+                arrs = [a.transpose(1, 0, 2) for a in arrs]
+            outs.append(jnp.asarray(np.stack(arrs)))
+        return tuple(outs)
 
     p_stages = stack_plans(p_perms)
     q_stages = stack_plans(q_perms)
@@ -237,8 +247,10 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
 
 def _apply_slab_perm_ref(win_flat, stages, s):
     from essentials_tpu.ops.cube_router import CubePlan, _ref_apply
-    plan = CubePlan(stages=tuple(np.asarray(st[s]) for st in stages),
-                    form="wbc", length=SLAB, wide=8)
+    st = [np.asarray(x[s]) for x in stages]
+    st[2] = st[2].transpose(1, 2, 0).astype(np.int16)   # [W,C,B]->[C,B,W]
+    st[3] = st[3].transpose(1, 0, 2)                    # [W,C,B]->[C,W,B]
+    plan = CubePlan(stages=tuple(st), form="wbc", length=SLAB, wide=8)
     return _ref_apply(win_flat, plan)
 
 
@@ -321,14 +333,12 @@ def _k1w_kernel(row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2, s3, s4,
     a = _g2(a, s0[0])
     a = jnp.swapaxes(a, 1, 2)                             # [W, C, B]
     a = _g2(a, s1[0])
-    a = jnp.transpose(a, (1, 2, 0))                       # [C, B, W]
-    iw = s2[0].astype(jnp.int32)
+    iw = s2[0].astype(jnp.int32)                          # [W', C, B]
     acc = jnp.zeros_like(a)
-    for t in range(8):                                    # wide-8 select
-        acc = jnp.where(iw == t, a[:, :, t:t + 1], acc)
-    a = jnp.swapaxes(acc, 1, 2)                           # [C, W, B]
-    a = _g2(a, s3[0])
-    a = jnp.transpose(a, (1, 2, 0))                       # [W, B, C]
+    for t in range(8):                                    # leading select
+        acc = jnp.where(iw == t, a[t][None], acc)
+    a = _g2(acc, s3[0])                                   # [W, C, B]
+    a = jnp.swapaxes(a, 1, 2)                             # [W, B, C]
     placed = _g2(a, s4[0])
 
     x = _block_cumsum(placed, carry, False, False)        # telescoping
@@ -370,16 +380,14 @@ def _k3w_kernel(x_ref, i6b_ref, f_ref, q0, q1, q2, q3, q4, o_ref,
     a = jax.lax.bitcast_convert_type(sums, jnp.int32) \
         .reshape(8, LANES, LANES)
     a = _g2(a, q0[0])
-    a = jnp.swapaxes(a, 1, 2)
+    a = jnp.swapaxes(a, 1, 2)                             # [W, C, B]
     a = _g2(a, q1[0])
-    a = jnp.transpose(a, (1, 2, 0))
-    iw = q2[0].astype(jnp.int32)
+    iw = q2[0].astype(jnp.int32)                          # [W', C, B]
     acc = jnp.zeros_like(a)
     for t in range(8):
-        acc = jnp.where(iw == t, a[:, :, t:t + 1], acc)
-    a = jnp.swapaxes(acc, 1, 2)
-    a = _g2(a, q3[0])
-    a = jnp.transpose(a, (1, 2, 0))
+        acc = jnp.where(iw == t, a[t][None], acc)
+    a = _g2(acc, q3[0])
+    a = jnp.swapaxes(a, 1, 2)                             # [W, B, C]
     o_ref[0] = _g2(a, q4[0])                              # [8, B, C]
 
 
