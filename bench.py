@@ -156,18 +156,22 @@ def main():
         from essentials_tpu.algorithms import spmv as spmv_mod
         fn = spmv_mod.spmv_fused if spmv_mod.fused_supported(gw) \
             else spmv_mod.spmv_pull
+        wplan = (spmv_mod.windowed_plan(gw)
+                 if spmv_mod.fused_supported(gw) else None)
         x0 = jax.random.uniform(jax.random.PRNGKey(0),
                                 (gw.n_vertices_padded,), jnp.float32)
 
-        @partial(jax.jit, static_argnums=(2,))
-        def sreplay(gw, x, n):
+        @partial(jax.jit, static_argnums=(3,))
+        def sreplay(gw, pl_, x, n):
             def body(i, x):
-                return x * 0.5 + fn(gw, x)[:x.shape[0]] * 1e-9
+                y = spmv_mod.spmv_windowed(gw, pl_, x) \
+                    if pl_ is not None else fn(gw, x)
+                return x * 0.5 + y[:x.shape[0]] * 1e-9
             return jnp.sum(jax.lax.fori_loop(0, n, body, x).ravel()[:8])
 
         def sfetch(n):
             t0 = time.perf_counter()
-            float(sreplay(gw, x0, n))
+            float(sreplay(gw, wplan, x0, n))
             return (time.perf_counter() - t0) * 1e3
 
         sfetch(1)
@@ -180,6 +184,7 @@ def main():
         spmv_ms = float(np.median(scyc))
         sol_ms = csr_w.nnz * 12.0 / (HBM_GBPS * 1e9) * 1e3
         spmv_fields = {
+            "spmv_variant": "windowed" if wplan is not None else "fused",
             "spmv_gbps": round(csr_w.nnz * 12.0 / spmv_ms / 1e6, 1),
             "spmv_ms": round(spmv_ms, 3),
             "spmv_pct_hbm_roofline": round(sol_ms / spmv_ms, 4),

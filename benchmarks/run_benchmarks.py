@@ -239,11 +239,20 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
 
     x0 = None
 
+    # windowed 3-kernel variant when its plan builds (TPU), else the
+    # fused chain; the plan rides in the replay STATE (a closed-over
+    # plan would bake its stage arrays into the program as constants)
+    wplan = (A.spmv.windowed_plan(g)
+             if jax.default_backend() == "tpu"
+             and A.spmv.fused_supported(g) else None)
     spmv_fn = A.spmv.spmv_fused if A.spmv.fused_supported(g) \
         else A.spmv.spmv_pull
 
-    def spmv_body(g, x0, s):
+    def spmv_body(g, st, s):
+        x0, pl_ = st
         x = guard(x0, s)
+        if pl_ is not None:
+            return (A.spmv.spmv_windowed(g, pl_, x),), jnp.int32(1)
         return (spmv_fn(g, x),), jnp.int32(1)
 
     import jax.numpy as jnp  # noqa: F811
@@ -251,7 +260,7 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
     x0 = jnp.where(g.vertex_mask(),
                    jax.random.uniform(key, (g.n_vertices_padded,),
                                       jnp.float32), 0.0)
-    add("spmv", lambda: replay_ms(spmv_body, g, x0, sources, R=R))
+    add("spmv", lambda: replay_ms(spmv_body, g, (x0, wplan), sources, R=R))
 
     # --- spgemm: A @ A numeric phase (structure-static plan), gated on
     # the product count so the symbolic plan stays tractable ---
