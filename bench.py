@@ -174,8 +174,24 @@ def main():
             float(sreplay(gw, wplan, x0, n))
             return (time.perf_counter() - t0) * 1e3
 
+        # probe windowed vs fused (windowed wins at tfbc scale, the
+        # chain at wbc scale — measure, don't assume)
+        cands = [None] + ([wplan] if wplan is not None else [])
+        best_pl, best_probe = None, float("inf")
+        for pl_ in cands:
+            def sfetch_p(n, pl_=pl_):
+                t0 = time.perf_counter()
+                float(sreplay(gw, pl_, x0, n))
+                return (time.perf_counter() - t0) * 1e3
+            sfetch_p(1)
+            sfetch_p(RUNS)
+            t1 = sfetch_p(1)
+            tR = sfetch_p(RUNS)
+            pr = max((tR - t1) / (RUNS - 1), 1e-6)
+            if pr < best_probe:
+                best_pl, best_probe = pl_, pr
+        wplan = best_pl
         sfetch(1)
-        sfetch(RUNS)
         scyc = []
         for _ in range(5):
             t1 = sfetch(1)

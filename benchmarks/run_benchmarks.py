@@ -244,7 +244,8 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
     # plan would bake its stage arrays into the program as constants)
     wplan = (A.spmv.windowed_plan(g)
              if jax.default_backend() == "tpu"
-             and A.spmv.fused_supported(g) else None)
+             and A.spmv.fused_supported(g)
+             and getattr(g.route_bwd, "form", None) == "tfbc" else None)
     spmv_fn = A.spmv.spmv_fused if A.spmv.fused_supported(g) \
         else A.spmv.spmv_pull
 

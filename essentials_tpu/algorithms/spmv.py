@@ -90,7 +90,11 @@ def run(g: Graph, x=None, *, variant: str = "auto", seed: int = 0,
         x = jax.random.uniform(key, (g.n_vertices_padded,), jnp.float32)
         x = jnp.where(g.vertex_mask(), x, 0.0)
     if variant == "auto":
+        # windowed wins at tfbc scale (4.98 vs 7.72 ms at rmat20); the
+        # chain wins at wbc scale (0.73 vs 0.89 ms at rmat18) — fixed
+        # per-kernel costs + merge dominate small graphs
         if jax.default_backend() == "tpu" and fused_supported(g) \
+                and getattr(g.route_bwd, "form", None) == "tfbc" \
                 and windowed_plan(g) is not None:
             variant = "windowed"
         else:
