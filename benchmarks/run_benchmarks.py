@@ -249,19 +249,45 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
     spmv_fn = A.spmv.spmv_fused if A.spmv.fused_supported(g) \
         else A.spmv.spmv_pull
 
-    def spmv_body(g, st, s):
-        x0, pl_ = st
-        x = guard(x0, s)
-        if pl_ is not None:
-            return (A.spmv.spmv_windowed(g, pl_, x),), jnp.int32(1)
-        return (spmv_fn(g, x),), jnp.int32(1)
-
     import jax.numpy as jnp  # noqa: F811
     key = jax.random.PRNGKey(0)
     x0 = jnp.where(g.vertex_mask(),
                    jax.random.uniform(key, (g.n_vertices_padded,),
                                       jnp.float32), 0.0)
-    add("spmv", lambda: replay_ms(spmv_body, g, (x0, wplan), sources, R=R))
+
+    def spmv_row():
+        # output-feedback replay (y feeds the next x): the strict serial
+        # dependency is the only protocol that reliably keeps the
+        # windowed pipeline inside the loop (bench.py protocol; the
+        # guard-based replay measured 3x slow here)
+        import time as _time
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnums=(3,))
+        def srep(g, pl_, x, n):
+            def body(i, x):
+                y = A.spmv.spmv_windowed(g, pl_, x) if pl_ is not None \
+                    else spmv_fn(g, x)
+                return x * 0.5 + y[:x.shape[0]] * 1e-9
+            return jnp.sum(jax.lax.fori_loop(0, n, body, x).ravel()[:8])
+
+        def fetch(n):
+            t0 = _time.perf_counter()
+            float(srep(g, wplan, x0, n))
+            return (_time.perf_counter() - t0) * 1e3
+
+        RR = 16
+        fetch(1)
+        fetch(RR)
+        cyc = []
+        for _ in range(3):
+            t1 = fetch(1)
+            tR = fetch(RR)
+            cyc.append(max((tR - t1) / (RR - 1), 1e-6))
+        import numpy as _np
+        return float(_np.median(cyc)), 1, [round(c, 3) for c in cyc]
+
+    add("spmv", spmv_row)
 
     # --- spgemm: A @ A numeric phase (structure-static plan), gated on
     # the product count so the symbolic plan stays tractable ---
