@@ -174,6 +174,10 @@ def main():
             float(sreplay(gw, wplan, x0, n))
             return (time.perf_counter() - t0) * 1e3
 
+        # spmv runs are ~0.5-1 ms at this scale: amortize over 64
+        # replays so the (t_R - t_1) signal dominates the tunnel's
+        # ~1-3 ms RTT jitter (R=16 measured 0.33-0.89 ms scatter)
+        SRUNS = 64
         # probe windowed vs fused (windowed wins at tfbc scale, the
         # chain at wbc scale — measure, don't assume)
         cands = [None] + ([wplan] if wplan is not None else [])
@@ -184,10 +188,10 @@ def main():
                 float(sreplay(gw, pl_, x0, n))
                 return (time.perf_counter() - t0) * 1e3
             sfetch_p(1)
-            sfetch_p(RUNS)
+            sfetch_p(SRUNS)
             t1 = sfetch_p(1)
-            tR = sfetch_p(RUNS)
-            pr = max((tR - t1) / (RUNS - 1), 1e-6)
+            tR = sfetch_p(SRUNS)
+            pr = max((tR - t1) / (SRUNS - 1), 1e-6)
             if pr < best_probe:
                 best_pl, best_probe = pl_, pr
         wplan = best_pl
@@ -195,8 +199,8 @@ def main():
         scyc = []
         for _ in range(5):
             t1 = sfetch(1)
-            tR = sfetch(RUNS)
-            scyc.append(max((tR - t1) / (RUNS - 1), 1e-6))
+            tR = sfetch(SRUNS)
+            scyc.append(max((tR - t1) / (SRUNS - 1), 1e-6))
         spmv_ms = float(np.median(scyc))
         sol_ms = csr_w.nnz * 12.0 / (HBM_GBPS * 1e9) * 1e3
         spmv_fields = {
