@@ -109,7 +109,10 @@ def build_windowed_plan(g) -> WindowedSpmvPlan | None:
     clen = np.diff(csc_off)
     nonempty_c = np.nonzero(clen > 0)[0]
     n_cseg = int(nonempty_c.shape[0])
-    if (n_cseg + 1) * 4 > 6 * 1024 * 1024:     # dxc residency gate (~6MB)
+    if (n_cseg + 1) * 4 > 12 * 1024 * 1024:
+        # dxc residency gate: the resident table must fit VMEM alongside
+        # the pipeline's block buffers (kernels run with a 100 MB scoped
+        # limit; 12 MB measured fine at rmat21's ~2M-segment table)
         return None
     # rank at each segment START position (only starts get placements)
     start_pos = csc_off[nonempty_c]                      # ascending
