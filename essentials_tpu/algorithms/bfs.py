@@ -474,7 +474,12 @@ def _auto_variant(g: Graph, source, max_it) -> str:
         return "adaptive"
     import time as _time
     best, best_t = None, float("inf")
-    for cand in ("fused8", "fused", "phased", "hybrid"):
+    # fused8 differs from fused only when the SWAR path is active —
+    # otherwise run_fused_levels ignores i8_carrier and probing it would
+    # compile+time an identical program twice.
+    cands = (("fused8", "fused", "phased", "hybrid")
+             if _swar_mode(g, max_it) else ("fused", "phased", "hybrid"))
+    for cand in cands:
         fn = _variant_fn(cand)
         int(fn(g, source, max_it)[1])              # compile + warm
         t0 = _time.perf_counter()

@@ -155,6 +155,18 @@ def _run_fused_compiled(g, max_it):
     return run_fused_kcore(g, max_it)
 
 
+def _step_spray_on(g, state, it):
+    return step(g, state, it, spray_override=True)
+
+
+def _step_spray_off(g, state, it):
+    return step(g, state, it, spray_override=False)
+
+
+_STEP_BY_OVERRIDE = {None: step, True: _step_spray_on,
+                     False: _step_spray_off}
+
+
 def run(g: Graph, *, max_iterations: int | None = None,
         warmup: bool = True, variant: str = "auto",
         spray_override=None) -> KcoreResult:
@@ -177,10 +189,10 @@ def run(g: Graph, *, max_iterations: int | None = None,
         elapsed = (_time.perf_counter() - t0) * 1e3
         return KcoreResult(core[:g.n_vertices], it_val, elapsed)
 
-    def _step(g, state, it):
-        return step(g, state, it, spray_override=spray_override)
-
-    res: EnactResult = enact(_step, converged, g, init(g),
+    # step_fn is a static argnum of the enactor's jit: pass a STABLE
+    # object per spray_override value so repeat calls hit the jit cache.
+    step_fn = _STEP_BY_OVERRIDE[spray_override]
+    res: EnactResult = enact(step_fn, converged, g, init(g),
                              max_iterations=max_it, warmup=warmup)
     return KcoreResult(res.state.core[:g.n_vertices], res.iterations,
                        res.elapsed_ms)

@@ -42,14 +42,21 @@ _windowed_plans: dict = {}
 
 def windowed_plan(g: Graph):
     """Build (once per graph, cached in-process) the 3-kernel windowed
-    plan; None when the graph is unsupported (ops/windowed_spmv.py)."""
+    plan; None when the graph is unsupported (ops/windowed_spmv.py).
+
+    Cache entries hold a strong reference to the keying row_offsets
+    array, so its id() cannot be recycled by a later graph while the
+    entry lives (an id hit therefore always means the same array)."""
     key = id(g.row_offsets)
-    if key not in _windowed_plans:
-        from essentials_tpu.ops.windowed_spmv import build_windowed_plan
-        if len(_windowed_plans) > 4:        # bound plan memory
-            _windowed_plans.clear()
-        _windowed_plans[key] = build_windowed_plan(g)
-    return _windowed_plans[key]
+    hit = _windowed_plans.get(key)
+    if hit is not None and hit[0] is g.row_offsets:
+        return hit[1]
+    from essentials_tpu.ops.windowed_spmv import build_windowed_plan
+    while len(_windowed_plans) > 4:          # bound plan memory: evict oldest
+        _windowed_plans.pop(next(iter(_windowed_plans)))
+    plan = build_windowed_plan(g)
+    _windowed_plans[key] = (g.row_offsets, plan)
+    return plan
 
 
 @jax.jit
