@@ -178,14 +178,38 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
         src_body(lambda g, s: A.ppr.init(g, s), A.ppr.step), g, None,
         sources, R=R))
 
+    # headline bc/pr/hits rows ride the shared SpMV engine (windowed
+    # 3-kernel where the plan builds, fused chain elsewhere); *_generic
+    # rows keep the reference-parity formulation measurable
+    _spmv_plan = A.pr.spmv_plan(g)
+
+    if A.bc.spmv_supported(g):
+        def bc_spmv_body(g, st, s):
+            delta, depth, levels = A.bc._single_source_deps_spmv(
+                g, st[0], s, v1)
+            return (delta,), levels
+
+        add("bc", lambda: replay_ms(bc_spmv_body, g, (_spmv_plan,),
+                                    sources, R=R))
+
     def bc_body(g, _, s):
         delta, depth, levels = A.bc._single_source_deps(g, s, v1)
         return (delta,), levels
 
-    add("bc", lambda: replay_ms(bc_body, g, None, sources, R=R))
+    add("bc_generic" if A.bc.spmv_supported(g) else "bc",
+        lambda: replay_ms(bc_body, g, None, sources, R=R))
 
     # --- seedless (guarded init outside the loop) ---
-    add("pr", lambda: replay_ms(
+    def pr_spmv_body(g, st, s):
+        plan_, iw = st
+        ranks, it = A.pr._run_spmv_compiled(
+            g, plan_, guard(iw, s), 0.85, 1e-6, v1)
+        return (ranks,), it
+
+    add("pr", lambda: replay_ms(pr_spmv_body, g,
+                                (_spmv_plan, A.pr.init(g).iweights),
+                                sources, R=R))
+    add("pr_generic", lambda: replay_ms(
         enact_body(A.pr.step, A.pr.converged, v1), g, A.pr.init(g),
         sources, R=R))
     # headline `color` row mirrors color.run(variant="auto"): spec above
@@ -216,9 +240,21 @@ def bench_graph(path: str, runs: int, skip: set | None = None,
 
         add("kcore_fused", lambda: replay_ms(kcore_fused_body, g, None,
                                              sources, R=R))
-    add("hits", lambda: replay_ms(
-        enact_body(A.hits.step, A.hits.converged, 50), g, A.hits.init(g),
-        sources, R=R))
+    if A.hits.spmv_supported(g):
+        def hits_spmv_body(g, st, s):
+            plan_, h0 = st
+            auth, hub, it = A.hits._run_spmv_compiled(
+                g, plan_, 50, guard(h0, s))
+            return (auth, hub), it
+
+        add("hits", lambda: replay_ms(
+            hits_spmv_body, g,
+            (_spmv_plan, jnp.ones(g.n_vertices_padded, jnp.float32)),
+            sources, R=R))
+    add("hits_generic" if A.hits.spmv_supported(g) else "hits",
+        lambda: replay_ms(
+            enact_body(A.hits.step, A.hits.converged, 50), g,
+            A.hits.init(g), sources, R=R))
     add("mst", lambda: replay_ms(
         enact_body(A.mst.step, A.mst.converged, v1), g, A.mst.init(g),
         sources, R=R))

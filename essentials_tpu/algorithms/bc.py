@@ -89,10 +89,81 @@ def _bc_single(g: Graph, source, max_depth: int):
     return delta, levels
 
 
+def spmv_supported(g: Graph) -> bool:
+    """The SpMV-engine levels need A == A^T (symmetric layout)."""
+    return bool(g.symmetric_layout)
+
+
+def _single_source_deps_spmv(g: Graph, plan, source, max_depth: int):
+    """Forward sigma levels and backward dependency levels each as ONE
+    unweighted SpMV-engine call (VERDICT r4 #2 port: Brandes' per-level
+    sweeps are frontier-masked SpMVs, so they share the windowed/chain
+    kernels instead of the generic advance/neighborreduce sweeps)."""
+    from essentials_tpu.algorithms.pr import _spmv_engine_call
+    vp = g.n_vertices_padded
+    mask = g.vertex_mask()
+    depth = jnp.full(vp, UNSEEN, jnp.int32).at[source].set(0)
+    sigma = jnp.zeros(vp, jnp.float32).at[source].set(1.0)
+    frontier = jnp.zeros(vp, jnp.bool_).at[source].set(True)
+
+    def fwd_cond(carry):
+        depth, sigma, frontier, it = carry
+        return jnp.logical_and(it < max_depth, jnp.any(frontier))
+
+    def fwd_body(carry):
+        depth, sigma, frontier, it = carry
+        x = jnp.where(frontier, sigma, 0.0)
+        sig_in = _spmv_engine_call(g, plan, x, unit=True)[:vp]
+        newly = (depth == UNSEEN) & (sig_in > 0) & mask
+        depth = jnp.where(newly, it + 1, depth)
+        sigma = jnp.where(newly, sig_in, sigma)
+        return depth, sigma, newly, it + 1
+
+    depth, sigma, _, levels = jax.lax.while_loop(
+        fwd_cond, fwd_body,
+        (depth, sigma, frontier, jnp.asarray(0, jnp.int32)))
+
+    delta = jnp.zeros(vp, jnp.float32)
+
+    def bwd_cond(carry):
+        delta, d = carry
+        return d > 0
+
+    def bwd_body(carry):
+        delta, d = carry
+        ratio = (1.0 + delta) / jnp.maximum(sigma, 1e-30)
+        x = jnp.where(depth == d, ratio, 0.0)
+        y = _spmv_engine_call(g, plan, x, unit=True)[:vp]
+        delta = jnp.where(depth == d - 1, sigma * y, delta)
+        return delta, d - 1
+
+    delta, _ = jax.lax.while_loop(bwd_cond, bwd_body, (delta, levels))
+    delta = jnp.where(jnp.arange(vp) == source, 0.0, delta)
+    return delta, depth, levels
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _bc_single_spmv(g: Graph, plan, source, max_depth: int):
+    delta, _, levels = _single_source_deps_spmv(g, plan, source, max_depth)
+    return delta, levels
+
+
 def run(g: Graph, source: int, *, max_depth: int | None = None,
-        warmup: bool = True) -> BcResult:
-    """Single-source BC contribution (reference bc.hxx single-source mode)."""
+        warmup: bool = True, variant: str = "auto") -> BcResult:
+    """Single-source BC contribution (reference bc.hxx single-source
+    mode). variant: 'auto' (SpMV engine on symmetric graphs), 'spmv',
+    'generic'."""
     md = max_depth or g.n_vertices + 1
+    if variant in ("auto", "spmv") and spmv_supported(g):
+        from essentials_tpu.algorithms.pr import spmv_plan
+        plan = spmv_plan(g)
+        if warmup:
+            from essentials_tpu.utils.timer import fence
+            fence(_bc_single_spmv(g, plan, source, md))
+        t = Timer().begin()
+        delta, levels = _bc_single_spmv(g, plan, source, md)
+        ms = t.end(sync=delta)
+        return BcResult(delta[:g.n_vertices], int(levels), ms)
     if warmup:
         from essentials_tpu.utils.timer import fence
         fence(_bc_single(g, source, md))

@@ -57,11 +57,66 @@ def converged(g: Graph, state: HitsState, it) -> jax.Array:
     return state.delta < 1e-7
 
 
+def spmv_supported(g: Graph) -> bool:
+    """The SpMV-engine iteration needs A == A^T (symmetric layout): both
+    half-steps are then the same unweighted y = A @ x."""
+    return bool(g.symmetric_layout)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _run_spmv_compiled(g: Graph, plan, max_iterations, hub0=None):
+    """Both half-steps (auth[d] += hub[s], hub[s] += auth[d]) as ONE
+    unweighted SpMV-engine call each (VERDICT r4 #2 port — shares the
+    windowed/chain kernels instead of the generic 2-route sweeps).
+    hub0: optional initial hub vector (benchmark replay guard)."""
+    from essentials_tpu.algorithms.pr import _spmv_engine_call
+    mask = g.vertex_mask()
+    ones = jnp.where(mask, 1.0, 0.0).astype(jnp.float32)
+    if hub0 is not None:
+        ones = jnp.where(mask, hub0, 0.0).astype(jnp.float32)
+
+    def cond(c):
+        auth, hub, delta, it = c
+        return (it < max_iterations) & (delta >= 1e-7)
+
+    def body(c):
+        auth, hub, _, it = c
+        new_auth = _spmv_engine_call(g, plan, hub, unit=True)
+        new_auth = jnp.where(mask, new_auth[:auth.shape[0]], 0.0)
+        new_hub = _spmv_engine_call(g, plan, new_auth, unit=True)
+        new_hub = jnp.where(mask, new_hub[:hub.shape[0]], 0.0)
+        na = new_auth / jnp.maximum(jnp.linalg.norm(new_auth), 1e-12)
+        nh = new_hub / jnp.maximum(jnp.linalg.norm(new_hub), 1e-12)
+        delta = jnp.sum(jnp.abs(na - auth)) + jnp.sum(jnp.abs(nh - hub))
+        return na.astype(jnp.float32), nh.astype(jnp.float32), delta, it + 1
+
+    auth, hub, _, it = jax.lax.while_loop(
+        cond, body, (ones, ones, jnp.float32(jnp.inf), jnp.int32(0)))
+    return auth, hub, it
+
+
 def run(g: Graph, *, max_iterations: int = 50,
-        warmup: bool = True) -> HitsResult:
+        warmup: bool = True, variant: str = "auto") -> HitsResult:
+    """variant: 'auto' (SpMV engine on symmetric graphs — windowed
+    3-kernel where the plan builds), 'spmv', 'generic'."""
+    v = g.n_vertices
+    if variant in ("auto", "spmv") and spmv_supported(g):
+        import time as _time
+        from essentials_tpu.algorithms.pr import spmv_plan
+        plan = spmv_plan(g)
+        if warmup:
+            int(_run_spmv_compiled(g, plan, max_iterations)[2])
+        t0 = _time.perf_counter()
+        auth, hub, it = _run_spmv_compiled(g, plan, max_iterations)
+        it_val = int(it)
+        jax.block_until_ready(auth)
+        return HitsResult(auth[:v], hub[:v], it_val,
+                          (_time.perf_counter() - t0) * 1e3)
     res: EnactResult = enact(step, converged, g, init(g),
                              max_iterations=max_iterations, warmup=warmup)
-    v = g.n_vertices
     return HitsResult(res.state.auth[:v], res.state.hub[:v],
                       res.iterations, res.elapsed_ms)
 

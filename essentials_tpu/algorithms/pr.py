@@ -125,13 +125,90 @@ def _run_fused_compiled(g: Graph, iweights, alpha, tol, max_iterations):
     return ranks, it
 
 
+def _spmv_engine_call(g, plan, x, unit: bool = False):
+    """One y = A @ x on the best available engine: windowed 3-kernel
+    (plan is not None), the 7-kernel fused chain, or the generic pull
+    path. Trace-time dispatch (plan rides as a jit argument). unit=True
+    drops the weight factor (unweighted sum)."""
+    from essentials_tpu.algorithms import spmv as SP
+    from essentials_tpu.ops import neighbor_reduce, Combine
+    if plan is not None:
+        from essentials_tpu.ops.windowed_spmv import spmv_windowed as _w
+        return _w(g, plan, x, unit=unit)
+    from essentials_tpu.ops.fused_spmv import spmv_fused as _f
+    if SP.fused_supported(g):
+        return _f(g, x, unit=unit)
+    if unit:
+        return neighbor_reduce(g, lambda e: e.dst_vals[0],
+                               dst_values=(x,), combine=Combine.SUM)
+    return SP.spmv_pull(g, x)
+
+
+def spmv_plan(g: Graph):
+    """The windowed SpMV plan when it builds on this backend, else None
+    (callers fall back to the chain/pull engines)."""
+    from essentials_tpu.algorithms import spmv as SP
+    import jax as _jax
+    if _jax.default_backend() == "tpu" and SP.fused_supported(g) \
+            and getattr(g.route_bwd, "form", None) == "tfbc":
+        return SP.windowed_plan(g)
+    return None
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _run_spmv_compiled(g: Graph, plan, iweights, alpha, tol,
+                       max_iterations):
+    """Power iteration with the whole spread as ONE SpMV-engine call per
+    iteration (windowed: 3 kernels) — the VERDICT r4 #2 port: the fused
+    chain IS a weighted advance, so PR shares it instead of cloning an
+    edge-axis module. State stays on the vertex axis ([V] ops are noise
+    next to the [E] sweep)."""
+    n = g.n_vertices
+    mask = g.vertex_mask()
+    r0 = jnp.where(mask, 1.0 / n, 0.0).astype(jnp.float32)
+    dang_mask = (iweights == 0.0) & mask
+
+    def cond(c):
+        r, err, it = c
+        return (it < max_iterations) & (err > tol)
+
+    def body(c):
+        r, _, it = c
+        dangling = jnp.sum(jnp.where(dang_mask, r, 0.0))
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        contrib = r * iweights
+        spread = _spmv_engine_call(g, plan, contrib)
+        if spread.shape[0] < r.shape[0]:
+            spread = jnp.pad(spread, (0, r.shape[0] - spread.shape[0]))
+        r_new = jnp.where(mask, base + spread[:r.shape[0]], 0.0)
+        err = jnp.sum(jnp.abs(r_new - r))
+        return r_new, err, it + 1
+
+    r, _, it = jax.lax.while_loop(
+        cond, body, (r0, jnp.float32(jnp.inf), jnp.int32(0)))
+    return r, it
+
+
 def run(g: Graph, *, alpha: float = 0.85, tol: float = 1e-6,
         max_iterations: int = 500, warmup: bool = True,
         variant: str = "auto") -> PrResult:
-    """variant: 'auto' (fused on symmetric routed graphs), 'fused',
-    'generic'."""
-    use_fused = variant in ("auto", "fused") and fused_supported(g) and \
-        variant != "generic"
+    """variant: 'auto' (spmv engine — windowed 3-kernel where the plan
+    builds), 'spmv', 'fused' (edge-axis power iteration), 'generic'."""
+    if variant in ("auto", "spmv"):
+        import time as _time
+        st0 = init(g, alpha, tol)
+        plan = spmv_plan(g)
+        if warmup:
+            int(_run_spmv_compiled(g, plan, st0.iweights, alpha, tol,
+                                   max_iterations)[1])
+        t0 = _time.perf_counter()
+        ranks, it = _run_spmv_compiled(g, plan, st0.iweights, alpha, tol,
+                                       max_iterations)
+        it_val = int(it)
+        jax.block_until_ready(ranks)
+        return PrResult(ranks[:g.n_vertices], it_val,
+                        (_time.perf_counter() - t0) * 1e3)
+    use_fused = variant == "fused" and fused_supported(g)
     if use_fused:
         import time as _time
         st0 = init(g, alpha, tol)

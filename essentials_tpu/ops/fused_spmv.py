@@ -47,18 +47,22 @@ from essentials_tpu.ops.scan_kernels import (_block_scan, _shift_lanes,
                                              _shift_rows)
 
 
-def _km_scan_mul_kernel(xa_ref, w_ref, i6a_ref, i0b_ref, i1b_ref, o_ref,
-                        carry_ref):
+def _km_scan_mul_kernel(unit, xa_ref, *rest):
     """Tail(route A) + inclusive telescoping scan + f32 multiply +
-    head(route B), one m-slab."""
+    head(route B), one m-slab. ``unit`` (static): skip the multiply and
+    the [L] weight read (unweighted sums — HITS/BC)."""
+    if unit:
+        i6a_ref, i0b_ref, i1b_ref, o_ref, carry_ref = rest
+    else:
+        w_ref, i6a_ref, i0b_ref, i1b_ref, o_ref, carry_ref = rest
     x = xa_ref[0]                                         # [C, 8, B] int32
     x = jnp.swapaxes(x, 0, 1)                             # [8, C, B]
     x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
     x = _g2(x, i6a_ref[...])                              # finish route A
     x = _block_cumsum(x, carry_ref, False, False)         # int32 wraparound
-    xf = jax.lax.bitcast_convert_type(x, jnp.float32)     # x_exp (CSC)
-    prod = xf * w_ref[...]                                # * w_csc
-    x = jax.lax.bitcast_convert_type(prod, jnp.int32)
+    if not unit:
+        xf = jax.lax.bitcast_convert_type(x, jnp.float32)  # x_exp (CSC)
+        x = jax.lax.bitcast_convert_type(xf * w_ref[...], jnp.int32)
     x = _g2(x, i0b_ref[...])                              # start route B
     x = jnp.swapaxes(x, 1, 2)                             # [8, C, B]
     x = _g2(x, i1b_ref[...])
@@ -113,10 +117,11 @@ def fused_spmv_supported(g) -> bool:
                              g.off_route_csr.inv_plan]))
 
 
-def spmv_fused(g, x: jax.Array, *, use_pallas: bool | None = None
-               ) -> jax.Array:
+def spmv_fused(g, x: jax.Array, *, use_pallas: bool | None = None,
+               unit: bool = False) -> jax.Array:
     """y[s] = sum over CSR segment s of w[e] * x[dst[e]]; [Vp] output
-    (0 at empty/pad segments). Requires fused_spmv_supported(g)."""
+    (0 at empty/pad segments). Requires fused_spmv_supported(g).
+    unit=True: unweighted sum (skips the weight read)."""
     from essentials_tpu.ops.segment import _run_totals
     from essentials_tpu.ops.scan_kernels import segmented_scan
 
@@ -140,9 +145,12 @@ def spmv_fused(g, x: jax.Array, *, use_pallas: bool | None = None
     dd = _run_totals(d, route_a)
     dd = jnp.pad(dd, (0, L - dd.shape[0]))
 
-    w = g.csc_values.astype(jnp.float32)
-    w = jnp.where(jnp.arange(ep) < g.n_edges, w, 0.0)     # zero pad edges
-    w = jnp.pad(w, (0, L - ep))
+    if unit:
+        w = None
+    else:
+        w = g.csc_values.astype(jnp.float32)
+        w = jnp.where(jnp.arange(ep) < g.n_edges, w, 0.0)  # zero pad edges
+        w = jnp.pad(w, (0, L - ep))
     flags = g.csr_seg_flags.astype(jnp.int8)
     flags = jnp.pad(flags, (0, L - ep), constant_values=1)
 
@@ -150,7 +158,7 @@ def spmv_fused(g, x: jax.Array, *, use_pallas: bool | None = None
         # reference algebra: same stages, pure jnp (CPU tests)
         v = _ref_apply(dd, plan_a)
         x_exp = jax.lax.bitcast_convert_type(jnp.cumsum(v), jnp.float32)
-        prod = x_exp * w
+        prod = x_exp if unit else x_exp * w
         pr = jax.lax.bitcast_convert_type(
             _ref_apply(jax.lax.bitcast_convert_type(prod, jnp.int32),
                        plan_b), jnp.float32)
@@ -161,7 +169,7 @@ def spmv_fused(g, x: jax.Array, *, use_pallas: bool | None = None
                        plan_c), jnp.float32)[:n_seg + 1]
     else:
         picked = _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c,
-                                    n_seg)
+                                    n_seg, unit=unit)
 
     ff = segmented_scan(picked, route_c.run_start, "first")
     y = jnp.where(route_c.seg_len > 0, ff[1:], 0.0)
@@ -169,7 +177,7 @@ def spmv_fused(g, x: jax.Array, *, use_pallas: bool | None = None
 
 
 def _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c, n_seg,
-                       stop_after: int = 7):
+                       stop_after: int = 7, unit: bool = False):
     """stop_after (profiling only): return the intermediate after the
     N-th kernel (1..7) bitcast to f32 — lets benchmarks time chain
     prefixes to locate hot kernels."""
@@ -218,18 +226,20 @@ def _pallas_spmv_chain(dd, w, flags, plan_a, plan_b, plan_c, n_seg,
     if (r := _stop(v, 2)) is not None:
         return r
 
-    wm = w.reshape(M, LANES, LANES)
+    w_args = [] if unit else [w.reshape(M, LANES, LANES)]
+    w_specs = [] if unit else [bs((_MSLAB, LANES, LANES),
+                               lambda m, p: (m, 0, 0))]
     v = pl.pallas_call(
-        _km_scan_mul_kernel, grid=(G, 1),
-        in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
-                  bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
-                  bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
-                  bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
-                  bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
+        partial(_km_scan_mul_kernel, unit), grid=(G, 1),
+        in_specs=[bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0))]
+        + w_specs
+        + [bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+           bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0)),
+           bs((_MSLAB, LANES, LANES), lambda m, p: (m, 0, 0))],
         out_specs=bs((1, LANES, _MSLAB, LANES), lambda m, p: (p, 0, m, 0)),
         out_shape=jax.ShapeDtypeStruct((1, LANES, M, LANES), dt),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-    )(v, wm, i6a, i0b, i1b)
+    )(v, *w_args, i6a, i0b, i1b)
     if (r := _stop(v, 3)) is not None:
         return r
     v = run_k2(v, k2b_kernel, k2b_idx)

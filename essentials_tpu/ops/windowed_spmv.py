@@ -257,7 +257,8 @@ def _apply_slab_perm_ref(win_flat, stages, s):
     return _ref_apply(win_flat, plan)
 
 
-def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
+def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array,
+                      unit: bool = False) -> jax.Array:
     """Stage-exact jnp replay of the windowed pipeline (no Pallas)."""
     from essentials_tpu.ops.cube_router import _ref_apply
     from essentials_tpu.ops.scan_kernels import segmented_scan
@@ -283,7 +284,7 @@ def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
         placed.append(_apply_slab_perm_ref(win, plan.p_stages, s))
     placed = jnp.concatenate(placed)
     x_exp = jax.lax.bitcast_convert_type(jnp.cumsum(placed), jnp.float32)
-    prod = x_exp * plan.w_csc_l
+    prod = x_exp if unit else x_exp * plan.w_csc_l
     routed = jax.lax.bitcast_convert_type(
         _ref_apply(jax.lax.bitcast_convert_type(prod, jnp.int32),
                    g.route_bwd), jnp.float32)
@@ -318,11 +319,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _k1w_kernel(row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2, s3, s4,
-                w_ref, i0b_ref, i1b_ref, o_ref, carry):
+def _k1w_kernel(unit, row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2, s3,
+                s4, *rest):
     """Window + mask + per-slab placement perm + telescoping cumsum +
-    multiply + route head, one slab per grid step (grid (G, 1))."""
+    multiply + route head, one slab per grid step (grid (G, 1)).
+    ``unit`` (static): skip the weight multiply (unweighted algorithms —
+    HITS/BC — save the [L] weight read entirely)."""
     from essentials_tpu.ops.cube_router import _g2, _block_cumsum
+    if unit:
+        i0b_ref, i1b_ref, o_ref, carry = rest
+        w_ref = None
+    else:
+        w_ref, i0b_ref, i1b_ref, o_ref, carry = rest
     g = pl.program_id(0)
 
     r0 = pl.multiple_of(row0_ref[g], 8)
@@ -345,9 +353,9 @@ def _k1w_kernel(row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2, s3, s4,
     placed = _g2(a, s4[0])
 
     x = _block_cumsum(placed, carry, False, False)        # telescoping
-    xf = jax.lax.bitcast_convert_type(x, jnp.float32)
-    prod = xf * w_ref[0]
-    x = jax.lax.bitcast_convert_type(prod, jnp.int32)
+    if not unit:
+        xf = jax.lax.bitcast_convert_type(x, jnp.float32)
+        x = jax.lax.bitcast_convert_type(xf * w_ref[0], jnp.int32)
     x = _g2(x, i0b_ref[...])                              # route head
     x = jnp.swapaxes(x, 1, 2)
     x = _g2(x, i1b_ref[...])
@@ -394,8 +402,11 @@ def _k3w_kernel(x_ref, i6b_ref, f_ref, q0, q1, q2, q3, q4, o_ref,
     o_ref[0] = _g2(a, q4[0])                              # [8, B, C]
 
 
-def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
-    """TPU path: 3 Pallas kernels + V-axis compaction routes."""
+def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array,
+                  unit: bool = False) -> jax.Array:
+    """TPU path: 3 Pallas kernels + V-axis compaction routes. unit=True
+    computes the UNWEIGHTED sum y[s] = sum x[dst] (HITS/BC — skips the
+    weight read)."""
     from essentials_tpu.ops.cube_router import _plan_kparts, _MSLAB
     from essentials_tpu.ops.permute import apply_plan
 
@@ -428,24 +439,26 @@ def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array) -> jax.Array:
                for st in plan.q_stages]
     vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+    w_specs = [] if unit else [bs((1, 8, LANES, LANES),
+                                  lambda gi, p, *_: (gi, 0, 0, 0))]
+    w_args = [] if unit else [wm]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(G, 1),
         in_specs=[bs((dxc2.shape[0], LANES), lambda gi, p, *_: (0, 0))]
-        + p_specs
-        + [bs((1, 8, LANES, LANES), lambda gi, p, *_: (gi, 0, 0, 0)),
-           bs((_MSLAB, LANES, LANES), lambda gi, p, *_: (gi, 0, 0)),
+        + p_specs + w_specs
+        + [bs((_MSLAB, LANES, LANES), lambda gi, p, *_: (gi, 0, 0)),
            bs((_MSLAB, LANES, LANES), lambda gi, p, *_: (gi, 0, 0))],
         out_specs=bs((1, LANES, _MSLAB, LANES),
                      lambda gi, p, *_: (p, 0, gi, 0)),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
     k1 = pl.pallas_call(
-        _k1w_kernel, grid_spec=grid_spec,
+        partial(_k1w_kernel, unit), grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, LANES, G * _MSLAB, LANES),
                                        jnp.int32),
         compiler_params=vmem,
-    )(plan.row0, plan.win_lo, plan.win_hi, dxc2, *plan.p_stages, wm,
+    )(plan.row0, plan.win_lo, plan.win_hi, dxc2, *plan.p_stages, *w_args,
       i0b, i1b)
 
     M = G * _MSLAB
