@@ -155,6 +155,19 @@ def _run_fused_compiled(g, source, max_it):
     return run_fused_sssp(g, source, max_it)
 
 
+@_partial(jax.jit, static_argnums=(3,))
+def _run_windowed_compiled(g, plan, source, max_it):
+    from essentials_tpu.ops.windowed_sssp import run_windowed_sssp
+    return run_windowed_sssp(g, plan, source, max_it)
+
+
+def windowed_supported(g: Graph) -> bool:
+    from essentials_tpu.algorithms.pr import spmv_plan
+    from essentials_tpu.ops.windowed_sssp import windowed_sssp_supported
+    return bool(fused_supported(g)
+                and windowed_sssp_supported(g, spmv_plan(g)))
+
+
 def run(g: Graph, source: int, *, max_iterations: int | None = None,
         warmup: bool = True, variant: str = "auto") -> SsspResult:
     """variant: 'auto' (fused when supported — it won every measured A/B:
@@ -164,8 +177,24 @@ def run(g: Graph, source: int, *, max_iterations: int | None = None,
     plans)."""
     max_it = max_iterations if max_iterations is not None else g.n_vertices + 1
     if variant == "auto":
+        # fused wins the measured A/B vs windowed at rmat20 (50.5 vs
+        # 59.0 ms, benchmarks/_sssp_windowed_ab.py): the compact-state
+        # bytes saved are repaid as placement/compact stage-index reads
         variant = "fused" if fused_supported(g) else "adaptive"
     v = g.n_vertices
+    if variant == "windowed" and windowed_supported(g):
+        import time as _time
+        from essentials_tpu.algorithms.pr import spmv_plan
+        plan = spmv_plan(g)
+        if warmup:
+            int(_run_windowed_compiled(g, plan, source, max_it)[1])
+        t0 = _time.perf_counter()
+        dist, it = _run_windowed_compiled(g, plan, source, max_it)
+        it_val = int(it)
+        jax.block_until_ready(dist)
+        elapsed = (_time.perf_counter() - t0) * 1e3
+        pred = predecessors_from_distances(g, dist)[:v]
+        return SsspResult(dist[:v], pred, it_val, elapsed)
     if variant == "fused" and fused_supported(g):
         import time as _time
         if warmup:

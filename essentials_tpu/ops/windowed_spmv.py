@@ -37,6 +37,7 @@ import jax.numpy as jnp
 LANES = 128
 SLAB = 8 * LANES * LANES          # 131072 positions per slab
 SLAB_ROWS = SLAB // LANES         # 1024
+INF_BITS = np.float32(np.inf).view(np.int32).item()   # 0x7f800000
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -257,24 +258,24 @@ def _apply_slab_perm_ref(win_flat, stages, s):
     return _ref_apply(win_flat, plan)
 
 
-def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array,
-                      unit: bool = False) -> jax.Array:
-    """Stage-exact jnp replay of the windowed pipeline (no Pallas)."""
+def windowed_pipeline_ref(g, plan: WindowedSpmvPlan, xc: jax.Array,
+                          message: str = "mul", reduce: str = "sum",
+                          w_l=None) -> jax.Array:
+    """Stage-exact jnp replay of the 3-kernel pipeline from a COMPACT
+    input (CSC rank space). Returns the merged compact int32 bits [n_rseg
+    + SLAB] (ident at unwritten positions)."""
     from essentials_tpu.ops.cube_router import _ref_apply
     from essentials_tpu.ops.scan_kernels import segmented_scan
 
-    L, G = plan.L, plan.G
-    x = x.astype(jnp.float32)
-    if x.shape[0] < plan.vp:
-        x = jnp.pad(x, (0, plan.vp - x.shape[0]))
-    xc = x[plan.xc_perm]                                 # compact (CSC)
-    bits = jax.lax.bitcast_convert_type(xc, jnp.int32)
+    G = plan.G
+    bits = jax.lax.bitcast_convert_type(xc.astype(jnp.float32), jnp.int32)
     dxc = jnp.diff(bits, prepend=jnp.zeros(1, jnp.int32))
+    dxc = jnp.where(jnp.arange(dxc.shape[0]) <= plan.n_cseg, dxc, 0)
     need = plan.dxc_pad_rows * LANES
     dxc = dxc[:need] if dxc.shape[0] >= need \
         else jnp.pad(dxc, (0, need - dxc.shape[0]))
 
-    # K1w algebra: window + placement + global cumsum + multiply
+    # K1w algebra: window + placement + global cumsum + message
     placed = []
     iota = jnp.arange(SLAB, dtype=jnp.int32)
     for s in range(G):
@@ -284,30 +285,56 @@ def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array,
         placed.append(_apply_slab_perm_ref(win, plan.p_stages, s))
     placed = jnp.concatenate(placed)
     x_exp = jax.lax.bitcast_convert_type(jnp.cumsum(placed), jnp.float32)
-    prod = x_exp if unit else x_exp * plan.w_csc_l
+    if message == "mul":
+        w = plan.w_csc_l if w_l is None else w_l
+        prod = x_exp * w
+    elif message == "add":
+        w = plan.w_csc_l if w_l is None else w_l
+        prod = x_exp + w
+    else:
+        prod = x_exp
     routed = jax.lax.bitcast_convert_type(
         _ref_apply(jax.lax.bitcast_convert_type(prod, jnp.int32),
                    g.route_bwd), jnp.float32)
 
-    # K3w algebra: segmented sum + per-slab compact writes. The ref
+    # K3w algebra: segmented reduce + per-slab compact writes. The ref
     # writes each slab's EXACT real compact span (host-static slices), so
     # no window garbage exists here; the kernel path instead writes full
     # overlapping windows and needs the static repair route (see the
     # design doc's "overlap damage" section).
-    sums = segmented_scan(routed, plan.flags_l != 0, "add")
-    yc = jnp.zeros(plan.n_rseg + SLAB, jnp.float32)
+    if reduce == "min":
+        rb = jax.lax.bitcast_convert_type(routed, jnp.int32)
+        sums = segmented_scan(rb, plan.flags_l != 0, "min")
+        ident = jnp.int32(INF_BITS)
+    else:
+        sums = jax.lax.bitcast_convert_type(
+            segmented_scan(routed, plan.flags_l != 0, "add"), jnp.int32)
+        ident = jnp.int32(0)
+    yc = jnp.full(plan.n_rseg + SLAB, ident, jnp.int32)
     for s in range(G):
         cb, lo, ln = plan.q_spans[s]
         if ln == 0:
             continue
-        slab = jax.lax.bitcast_convert_type(
-            sums[s * SLAB:(s + 1) * SLAB], jnp.int32)
-        comp = jax.lax.bitcast_convert_type(
-            _apply_slab_perm_ref(slab, plan.q_stages, s), jnp.float32)
+        slab = sums[s * SLAB:(s + 1) * SLAB]
+        comp = _apply_slab_perm_ref(slab, plan.q_stages, s)
         yc = jax.lax.dynamic_update_slice(
             yc, jax.lax.slice(comp, [lo], [lo + ln]),
             (cb * LANES + lo,))
-    y = jnp.where(plan.y_mask, yc[plan.y_src_rank], 0.0)
+    return yc
+
+
+def spmv_windowed_ref(g, plan: WindowedSpmvPlan, x: jax.Array,
+                      unit: bool = False) -> jax.Array:
+    """Stage-exact jnp replay of the windowed pipeline (no Pallas)."""
+    x = x.astype(jnp.float32)
+    if x.shape[0] < plan.vp:
+        x = jnp.pad(x, (0, plan.vp - x.shape[0]))
+    xc = x[plan.xc_perm]                                 # compact (CSC)
+    yc = windowed_pipeline_ref(g, plan, xc,
+                               message="none" if unit else "mul",
+                               reduce="sum")
+    ycf = jax.lax.bitcast_convert_type(yc, jnp.float32)
+    y = jnp.where(plan.y_mask, ycf[plan.y_src_rank], 0.0)
     return y[:plan.vp]
 
 
@@ -319,14 +346,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _k1w_kernel(unit, row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2, s3,
-                s4, *rest):
+def _k1w_kernel(message, row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2,
+                s3, s4, *rest):
     """Window + mask + per-slab placement perm + telescoping cumsum +
-    multiply + route head, one slab per grid step (grid (G, 1)).
-    ``unit`` (static): skip the weight multiply (unweighted algorithms —
-    HITS/BC — save the [L] weight read entirely)."""
+    message + route head, one slab per grid step (grid (G, 1)).
+    ``message`` (static): 'mul' (x[dst]*w — SpMV/PR), 'add' (x[dst]+w on
+    f32 bit patterns — SSSP relax), 'none' (x[dst] only; unweighted
+    HITS/BC sums — saves the [L] weight read entirely)."""
     from essentials_tpu.ops.cube_router import _g2, _block_cumsum
-    if unit:
+    if message == "none":
         i0b_ref, i1b_ref, o_ref, carry = rest
         w_ref = None
     else:
@@ -353,43 +381,52 @@ def _k1w_kernel(unit, row0_ref, lo_ref, hi_ref, dxc_ref, s0, s1, s2, s3,
     placed = _g2(a, s4[0])
 
     x = _block_cumsum(placed, carry, False, False)        # telescoping
-    if not unit:
+    if message != "none":
         xf = jax.lax.bitcast_convert_type(x, jnp.float32)
-        x = jax.lax.bitcast_convert_type(xf * w_ref[0], jnp.int32)
+        xf = xf * w_ref[0] if message == "mul" else xf + w_ref[0]
+        x = jax.lax.bitcast_convert_type(xf, jnp.int32)
     x = _g2(x, i0b_ref[...])                              # route head
     x = jnp.swapaxes(x, 1, 2)
     x = _g2(x, i1b_ref[...])
     o_ref[0] = jnp.swapaxes(x, 0, 1)                      # [C, 8, B]
 
 
-def _k3w_kernel(x_ref, i6b_ref, f_ref, q0, q1, q2, q3, q4, o_ref,
+def _k3w_kernel(reduce, x_ref, i6b_ref, f_ref, q0, q1, q2, q3, q4, o_ref,
                 carry_v, carry_f):
-    """Route tail + segmented f32 sum + per-slab compact perm into a
+    """Route tail + segmented reduce + per-slab compact perm into a
     PRIVATE [G, SLAB] output (non-overlapping; host-static spans are
-    merged afterwards). Grid (G, 1) ascending."""
+    merged afterwards). Grid (G, 1) ascending. ``reduce`` (static):
+    'sum' (f32 via bitcast) or 'min' (int32 bit order — exact for
+    non-negative f32 bit patterns, the fused_sssp trick)."""
     from essentials_tpu.ops.cube_router import _g2
     from essentials_tpu.ops.scan_kernels import _block_scan
 
+    minmode = reduce == "min"
+    ident = (jnp.int32(INF_BITS) if minmode else jnp.float32(0))
+    op = jnp.minimum if minmode else jnp.add
+
     @pl.when(pl.program_id(0) == 0)
     def _():
-        carry_v[0] = jnp.float32(0)
+        carry_v[0] = ident
         carry_f[0] = jnp.int32(0)
 
     x = x_ref[0]                                          # [C, 8, B]
     x = jnp.swapaxes(x, 0, 1)
     x = jnp.swapaxes(x, 1, 2)                             # [8, B, C]
     x = _g2(x, i6b_ref[...])
-    v = jax.lax.bitcast_convert_type(
-        x.reshape(SLAB_ROWS, LANES), jnp.float32)
+    v = x.reshape(SLAB_ROWS, LANES)
+    if not minmode:
+        v = jax.lax.bitcast_convert_type(v, jnp.float32)
     f = f_ref[0].reshape(SLAB_ROWS, LANES).astype(jnp.int32)
-    sv, sf, (bv, bf) = _block_scan(v, f, jnp.add, jnp.float32(0), True)
+    sv, sf, (bv, bf) = _block_scan(v, f, op, ident, True)
     cv, cf = carry_v[0], carry_f[0]
-    sums = jnp.where(sf > 0, sv, sv + cv)
-    carry_v[0] = jnp.where(bf > 0, bv, cv + bv)
+    sums = jnp.where(sf > 0, sv, op(sv, cv))
+    carry_v[0] = jnp.where(bf > 0, bv, op(cv, bv))
     carry_f[0] = bf | cf
 
-    a = jax.lax.bitcast_convert_type(sums, jnp.int32) \
-        .reshape(8, LANES, LANES)
+    if not minmode:
+        sums = jax.lax.bitcast_convert_type(sums, jnp.int32)
+    a = sums.reshape(8, LANES, LANES)
     a = _g2(a, q0[0])
     a = jnp.swapaxes(a, 1, 2)                             # [W, C, B]
     a = _g2(a, q1[0])
@@ -402,32 +439,34 @@ def _k3w_kernel(x_ref, i6b_ref, f_ref, q0, q1, q2, q3, q4, o_ref,
     o_ref[0] = _g2(a, q4[0])                              # [8, B, C]
 
 
-def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array,
-                  unit: bool = False) -> jax.Array:
-    """TPU path: 3 Pallas kernels + V-axis compaction routes. unit=True
-    computes the UNWEIGHTED sum y[s] = sum x[dst] (HITS/BC — skips the
-    weight read)."""
-    from essentials_tpu.ops.cube_router import _plan_kparts, _MSLAB
-    from essentials_tpu.ops.permute import apply_plan
-
-    L, G = plan.L, plan.G
-    x = x.astype(jnp.float32)
-    if x.shape[0] < plan.vp:
-        x = jnp.pad(x, (0, plan.vp - x.shape[0]))
-    xc = apply_plan(x, plan.xc_route)                     # compact prefix
-    bits = jax.lax.bitcast_convert_type(xc, jnp.int32)
+def compact_bits(plan: WindowedSpmvPlan, xc: jax.Array) -> jax.Array:
+    """Compact x (CSC rank space, any length >= n_cseg) -> the padded
+    dxc diff table [dxc_pad_rows, LANES] the K1w kernel windows over."""
+    bits = jax.lax.bitcast_convert_type(xc.astype(jnp.float32), jnp.int32)
     dxc = jnp.diff(bits, prepend=jnp.zeros(1, jnp.int32))
     dxc = jnp.where(jnp.arange(dxc.shape[0]) <= plan.n_cseg, dxc, 0)
     need = plan.dxc_pad_rows * LANES        # table sized by n_cseg, not vp
     dxc = dxc[:need] if dxc.shape[0] >= need \
         else jnp.pad(dxc, (0, need - dxc.shape[0]))
-    dxc2 = dxc.reshape(-1, LANES)
+    return dxc.reshape(-1, LANES)
+
+
+def windowed_pipeline(g, plan: WindowedSpmvPlan, dxc2: jax.Array,
+                      message: str = "mul", reduce: str = "sum",
+                      w_l: jax.Array | None = None) -> jax.Array:
+    """The 3-kernel edge-axis pipeline: expand (windows + placement +
+    telescoping cumsum) -> message -> route CSC->CSR -> segmented reduce
+    -> per-slab compact perm. Returns the private [G, SLAB] int32 slabs
+    (merge with merge_compact). message: 'mul'|'add'|'none'; reduce:
+    'sum'|'min'; w_l overrides plan.w_csc_l ([L] f32, CSC order)."""
+    from essentials_tpu.ops.cube_router import _plan_kparts, _MSLAB
+
+    L, G = plan.L, plan.G
 
     def bs(shp, im):
         return pl.BlockSpec(shp, im, memory_space=pltpu.VMEM)
 
     i0b, i1b, i6b, k2_kernel, k2_idx = _plan_kparts(g.route_bwd, bs)
-    wm = plan.w_csc_l.reshape(G, 8, LANES, LANES)
     fm = plan.flags_l.reshape(G, 8, LANES, LANES)
 
     def gmap(shape_nd):
@@ -435,13 +474,15 @@ def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array,
 
     p_specs = [bs((1,) + tuple(st.shape[1:]), gmap(st.ndim))
                for st in plan.p_stages]
-    q_specs = [bs((1,) + tuple(st.shape[1:]), gmap(st.ndim))
-               for st in plan.q_stages]
     vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    w_specs = [] if unit else [bs((1, 8, LANES, LANES),
-                                  lambda gi, p, *_: (gi, 0, 0, 0))]
-    w_args = [] if unit else [wm]
+    if message == "none":
+        w_specs, w_args = [], []
+    else:
+        w = plan.w_csc_l if w_l is None else w_l
+        w_specs = [bs((1, 8, LANES, LANES),
+                      lambda gi, p, *_: (gi, 0, 0, 0))]
+        w_args = [w.reshape(G, 8, LANES, LANES)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(G, 1),
@@ -454,7 +495,7 @@ def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array,
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
     k1 = pl.pallas_call(
-        partial(_k1w_kernel, unit), grid_spec=grid_spec,
+        partial(_k1w_kernel, message), grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, LANES, G * _MSLAB, LANES),
                                        jnp.int32),
         compiler_params=vmem,
@@ -472,7 +513,7 @@ def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array,
     )(k1, *[a for a, _ in k2_idx])
 
     priv = pl.pallas_call(
-        _k3w_kernel, grid=(G, 1),
+        partial(_k3w_kernel, reduce), grid=(G, 1),
         in_specs=[bs((1, LANES, _MSLAB, LANES),
                      lambda gi, p: (p, 0, gi, 0)),
                   bs((_MSLAB, LANES, LANES), lambda gi, p: (gi, 0, 0)),
@@ -482,20 +523,46 @@ def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array,
            for st in plan.q_stages],
         out_specs=bs((1, 8, LANES, LANES), lambda gi, p: (gi, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G, 8, LANES, LANES), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32 if reduce == "min"
+                                   else jnp.float32),
                         pltpu.SMEM((1,), jnp.int32)],
         compiler_params=vmem,
     )(k2, i6b, fm, *plan.q_stages)
+    return priv.reshape(G, SLAB)
 
-    privf = jax.lax.bitcast_convert_type(priv, jnp.float32) \
-        .reshape(G, SLAB)
-    yc = jnp.zeros(plan.vp, jnp.float32)
-    for s in range(G):
+
+def merge_compact(plan: WindowedSpmvPlan, priv: jax.Array,
+                  ident_bits: int = 0) -> jax.Array:
+    """Merge the private per-slab compact spans into one [vp] int32
+    compact vector (spans are contiguous, disjoint rank ranges);
+    positions with no span keep ``ident_bits``."""
+    yc = jnp.full(plan.vp, ident_bits, jnp.int32)
+    for s in range(plan.G):
         cb, lo, ln = plan.q_spans[s]
         if ln == 0:
             continue
         yc = jax.lax.dynamic_update_slice(
-            yc, jax.lax.slice(privf[s], [lo], [lo + ln]),
+            yc, jax.lax.slice(priv[s], [lo], [lo + ln]),
             (cb * LANES + lo,))
+    return yc
+
+
+def spmv_windowed(g, plan: WindowedSpmvPlan, x: jax.Array,
+                  unit: bool = False) -> jax.Array:
+    """TPU path: 3 Pallas kernels + V-axis compaction routes. unit=True
+    computes the UNWEIGHTED sum y[s] = sum x[dst] (HITS/BC — skips the
+    weight read)."""
+    from essentials_tpu.ops.permute import apply_plan
+
+    x = x.astype(jnp.float32)
+    if x.shape[0] < plan.vp:
+        x = jnp.pad(x, (0, plan.vp - x.shape[0]))
+    xc = apply_plan(x, plan.xc_route)                     # compact prefix
+    dxc2 = compact_bits(plan, xc)
+    priv = windowed_pipeline(g, plan, dxc2,
+                             message="none" if unit else "mul",
+                             reduce="sum")
+    yc = jax.lax.bitcast_convert_type(merge_compact(plan, priv),
+                                      jnp.float32)
     y = apply_plan(yc, plan.y_route)
     return jnp.where(plan.y_mask, y, 0.0)
