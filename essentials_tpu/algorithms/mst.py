@@ -89,15 +89,21 @@ def _combine_src_min(g: Graph, vals: jax.Array) -> jax.Array:
 
 
 def step(g: Graph, state: MstState, it) -> MstState:
-    """One Borůvka round, two-level argmin (VERDICT round-1 item #5):
+    """One Borůvka round, two-level argmin (VERDICT round-1 item #5,
+    rebuilt sort-centric in round 5):
 
     edge level (static CSR segments, gather-free engine): per VERTEX, the
     lexicographic-min cross edge (weight, then dst) — valid pre-reduction
     because comp is constant within a vertex's out-edges, and within one
-    vertex min-dst IS the canonical-undirected-key order.
-    vertex level (V-sized, scatter): per COMPONENT, min over its member
-    vertices' candidates with full (w, cu, cv) tiebreak. Replaces the
-    E-sized dynamic-key scatters (~7.5 ns/elem) with V-sized ones."""
+    vertex min-dst IS the canonical-undirected-key order. A fourth
+    combine extracts the winner's TARGET COMPONENT (comp_dst at the
+    winning edge) so the vertex level needs no comp[col[e]] gather.
+
+    vertex level: per-COMPONENT winner by ONE 4-key device sort
+    (comp, w, cu, cv) — group heads are the argmins (measured 2.6 ms vs
+    ~40 ms for the segment_min scatter/gather ladder at 1M rows on v5e).
+    Pointer jumping carries its convergence flag in the loop state so
+    each iteration costs ONE gather, not two."""
     comp, in_mst, _ = state
     vp = g.n_vertices_padded
     ep = g.n_edges_padded
@@ -118,50 +124,58 @@ def step(g: Graph, state: MstState, it) -> MstState:
     dmin_e = _expand_by_src(g, (jnp.where(dmin_v == INT_MAX, INT_MAX - 1,
                                           dmin_v),))[0]
     eid = jnp.arange(ep, dtype=jnp.int32)
-    ex = jnp.where(at_min & (g.col_indices == dmin_e), eid, INT_MAX)
-    emin_v = _combine_src_min(g, ex)                        # [Vp] per-vertex
+    at_win = at_min & (g.col_indices == dmin_e)
+    ex = jnp.where(at_win, eid, INT_MAX)
+    emin_v = _combine_src_min(g, ex)                        # [Vp] winner eid
+    tx = jnp.where(at_win, comp_dst, INT_MAX)
+    tcomp_v = _combine_src_min(g, tx)                       # [Vp] target comp
 
-    # --- vertex level: per-component lexicographic (w, cu, cv) argmin ---
-    has_cand = wmin_v < INT_MAX
+    # --- vertex level: per-component lexicographic (w, cu, cv) winner
+    # via one multi-key sort; group heads are the argmins ---
     cu = jnp.minimum(iota_v, dmin_v)
     cv = jnp.maximum(iota_v, dmin_v)
-    kw = dict(num_segments=vp, indices_are_sorted=False)
-    wminc = jax.ops.segment_min(wmin_v, comp, **kw)
-    at_w = has_cand & (wmin_v == wminc[comp])
-    uminc = jax.ops.segment_min(jnp.where(at_w, cu, INT_MAX), comp, **kw)
-    at_u = at_w & (cu == uminc[comp])
-    vminc = jax.ops.segment_min(jnp.where(at_u, cv, INT_MAX), comp, **kw)
-    at_v = at_u & (cv == vminc[comp])
-    eminc = jax.ops.segment_min(jnp.where(at_v, emin_v, INT_MAX), comp, **kw)
+    comp_s, w_s, cu_s, cv_s, e_s, t_s = jax.lax.sort(
+        (comp, wmin_v, cu, cv, emin_v, tcomp_v), num_keys=4)
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), comp_s[:-1]])
+    winner = (comp_s != prev) & (w_s < INT_MAX)
 
-    has_edge = eminc < INT_MAX
-    safe_e = jnp.where(has_edge, eminc, 0)
-    target = jnp.where(has_edge, comp[g.col_indices[safe_e]], iota_v)
+    # hook each winning root under its target root (scatter at unique
+    # ascending root slots; non-winners drop out of bounds)
+    parent = iota_v.at[jnp.where(winner, comp_s, vp)].set(
+        jnp.where(winner, t_s, 0), mode="drop")
 
     # resolve mutual hooks: the smaller root stays a root
-    mutual = (target[target] == iota_v) & (iota_v < target)
-    parent = jnp.where(mutual, iota_v, target)
+    mutual = (parent[parent] == iota_v) & (iota_v < parent)
+    parent = jnp.where(mutual, iota_v, parent)
 
-    # record each actually-hooking component's chosen edge
-    hooks = has_edge & (parent != iota_v)
-    in_mst = in_mst.at[jnp.where(hooks, safe_e, ep - 1)].max(
-        hooks & g.edge_mask()[safe_e])
+    # record each actually-hooking component's chosen edge (the mutual
+    # winner stays a root; its partner records their shared edge)
+    hooked_root = parent != iota_v                          # [Vp] by root id
+    rec = winner & hooked_root[comp_s]
+    in_mst = in_mst.at[jnp.where(rec, e_s, ep)].max(
+        rec, mode="drop")
 
-    # pointer jumping until stable (hook trees are shallow: 2-3 jumps).
-    # BOUNDED: malformed inputs (asymmetric weights on an "undirected"
-    # graph) can produce hook cycles; the bound turns a device hang into a
-    # wrong-but-terminating answer the validator catches.
+    # pointer jumping until stable, convergence flag carried in-loop
+    # (ONE gather per iteration). BOUNDED: malformed inputs (asymmetric
+    # weights on an "undirected" graph) can produce hook cycles; the
+    # bound turns a device hang into a wrong-but-terminating answer the
+    # validator catches.
     depth = max(int(np.ceil(np.log2(max(vp, 2)))), 1) + 2
 
     def not_flat(c):
-        p, i = c
-        return jnp.any(p[p] != p) & (i < depth)
+        p, go, i = c
+        return go & (i < depth)
 
-    parent, _ = jax.lax.while_loop(
-        not_flat, lambda c: (c[0][c[0]], c[1] + 1), (parent, jnp.int32(0)))
+    def jump(c):
+        p, _, i = c
+        p2 = p[p]
+        return p2, jnp.any(p2 != p), i + 1
+
+    parent, _, _ = jax.lax.while_loop(
+        not_flat, jump, (parent, jnp.asarray(True), jnp.int32(0)))
     new_comp = parent[comp]
 
-    changed = jnp.any(hooks)
+    changed = jnp.any(winner)
     return MstState(new_comp, in_mst, changed)
 
 
