@@ -193,8 +193,11 @@ def run(g: Graph, *, alpha: float = 0.85, tol: float = 1e-6,
         max_iterations: int = 500, warmup: bool = True,
         variant: str = "auto") -> PrResult:
     """variant: 'auto' (spmv engine — windowed 3-kernel where the plan
-    builds), 'spmv', 'fused' (edge-axis power iteration), 'generic'."""
-    if variant in ("auto", "spmv"):
+    builds), 'spmv', 'fused' (edge-axis power iteration), 'generic'.
+    The spmv engine computes the src-keyed pull sum, which equals PR's
+    dst-keyed spread only when A == A^T (symmetric layout); directed
+    graphs use the fused/generic push formulation."""
+    if (variant == "auto" and g.symmetric_layout) or variant == "spmv":
         import time as _time
         st0 = init(g, alpha, tol)
         plan = spmv_plan(g)
