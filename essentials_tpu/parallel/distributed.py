@@ -146,6 +146,20 @@ def _exchanger(dg: DistGraph, send_idx_l):
     return exchange
 
 
+def _place(mesh, specs, args):
+    """Multi-controller placement: under process_count > 1 jit cannot
+    accept plain host arrays for cross-process shardings, so every dist_*
+    input is routed through multihost.to_global (identity when
+    single-process)."""
+    if jax.process_count() == 1:
+        return args
+    from essentials_tpu.parallel import multihost
+    return tuple(
+        jax.tree_util.tree_map(
+            lambda x, s=spec: multihost.to_global(mesh, s, x), a)
+        for spec, a in zip(specs, args))
+
+
 def _peer_args(dg: DistGraph, overlap: bool):
     if not overlap:
         return (), ()
@@ -211,8 +225,12 @@ def dist_bfs(dg: DistGraph, mesh: Mesh, source: int, *,
 
     dist0 = jnp.full(vtot, unreached, jnp.int32).at[source].set(0)
     frontier0 = jnp.zeros(vtot, jnp.bool_).at[source].set(True)
-    return run(_soff(dg), dg.dst_offsets, dg.route, dg.vertex_valid,
-               _send(dg), dist0, frontier0, *extra)
+    specs = (P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS, None),
+             P(AXIS, None, None), P(AXIS), P(AXIS)) + extra_specs
+    args = _place(mesh, specs,
+                  (_soff(dg), dg.dst_offsets, dg.route, dg.vertex_valid,
+                   _send(dg), dist0, frontier0) + tuple(extra))
+    return run(*args)
 
 
 def dist_sssp(dg: DistGraph, mesh: Mesh, source: int, *,
@@ -278,8 +296,12 @@ def dist_sssp(dg: DistGraph, mesh: Mesh, source: int, *,
         return dist
 
     dist0 = jnp.full(vtot, jnp.inf, jnp.float32).at[source].set(0.0)
-    return run(_soff(dg), dg.dst_offsets, dg.route, dg.weights,
-               dg.vertex_valid, _send(dg), dist0, *extra)
+    specs = (P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS),
+             P(AXIS, None), P(AXIS, None, None), P(AXIS)) + extra_specs
+    args = _place(mesh, specs,
+                  (_soff(dg), dg.dst_offsets, dg.route, dg.weights,
+                   dg.vertex_valid, _send(dg), dist0) + tuple(extra))
+    return run(*args)
 
 
 def _dst_seg_flags(doff, es):
@@ -345,5 +367,9 @@ def dist_pagerank(dg: DistGraph, mesh: Mesh, *, alpha: float = 0.85,
         return p
 
     p0 = jnp.where(jnp.arange(vtot) < nv, 1.0 / nv, 0.0).astype(jnp.float32)
-    return run(_soff(dg), dg.dst_offsets, dg.route, dg.vertex_valid,
-               dg.out_degrees, _send(dg), p0, *extra)
+    specs = (P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS, None),
+             P(AXIS, None), P(AXIS, None, None), P(AXIS)) + extra_specs
+    args = _place(mesh, specs,
+                  (_soff(dg), dg.dst_offsets, dg.route, dg.vertex_valid,
+                   dg.out_degrees, _send(dg), p0) + tuple(extra))
+    return run(*args)

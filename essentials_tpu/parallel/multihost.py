@@ -36,3 +36,19 @@ def global_mesh(axis_name: str = "v"):
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def to_global(mesh, spec, arr):
+    """Place a host array (identical on every process) as a GLOBAL jax
+    array sharded by ``spec`` over ``mesh``. Identity under a single
+    process — multi-controller jit cannot accept plain host arrays for
+    cross-process shardings, so the dist_* entry points route every
+    input through this."""
+    if jax.process_count() == 1:
+        return arr
+    import numpy as np
+    from jax.sharding import NamedSharding
+    np_arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        np_arr.shape, NamedSharding(mesh, spec),
+        lambda idx: np_arr[idx])
