@@ -221,8 +221,9 @@ class ChunkedPlan:
     Ecap: int                   # A-edge capacity per chunk (static shape)
     chunks: tuple               # ((e0, p0, npc, c_base), ...)
     c_dev_total: int            # device-layout entries (pre-merge, w/ dups)
-    merge_order: np.ndarray     # stable merge sort of the device layout
-    merge_offsets: np.ndarray   # run starts into the MERGED order
+    merge_spans: np.ndarray     # [K, 3] (s, t, n_runs): junction spans
+    merge_order: np.ndarray     # concatenated span-LOCAL stable argsorts
+    merge_offsets: np.ndarray   # concatenated span-LOCAL run starts
     c_row_offsets: np.ndarray   # final C structure (post-merge)
     c_col_indices: np.ndarray
 
@@ -239,8 +240,8 @@ def _chunked_plan_cache_key(a: Csr, b: Csr, chunk_products, chunk_edges):
     return h.hexdigest()[:24]
 
 
-def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
-                      chunk_edges: int = 1 << 22,
+def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 26,
+                      chunk_edges: int = 1 << 23,
                       cache_dir: str | None = None) -> ChunkedPlan | None:
     """Streamed symbolic phase: chunk boundaries + exact C structure,
     O(chunk) peak memory.
@@ -254,7 +255,7 @@ def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
     cpath = None
     if cache_dir:
         key = _chunked_plan_cache_key(a, b, chunk_products, chunk_edges)
-        cpath = os.path.join(cache_dir, f"spgemm_chunked_{key}.npz")
+        cpath = os.path.join(cache_dir, f"spgemm_chunked_v2_{key}.npz")
         if os.path.exists(cpath):
             z = np.load(cpath)
             return ChunkedPlan(
@@ -262,6 +263,7 @@ def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
                 Ecap=int(z["Ecap"]),
                 chunks=tuple(map(tuple, z["chunks"].tolist())),
                 c_dev_total=int(z["c_dev_total"]),
+                merge_spans=z["merge_spans"],
                 merge_order=z["merge_order"],
                 merge_offsets=z["merge_offsets"],
                 c_row_offsets=z["c_row_offsets"],
@@ -275,12 +277,90 @@ def make_chunked_plan(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
                      Ecap=plan.Ecap,
                      chunks=np.asarray(plan.chunks, np.int64),
                      c_dev_total=plan.c_dev_total,
+                     merge_spans=plan.merge_spans,
                      merge_order=plan.merge_order,
                      merge_offsets=plan.merge_offsets,
                      c_row_offsets=plan.c_row_offsets,
                      c_col_indices=plan.c_col_indices)
         os.replace(tmp, cpath)
     return plan
+
+
+def _chunk_unique_host(wc, per_edge, a_src, a_cols, b_off, b_cols, e0, e1,
+                       p0, npc):
+    """Host per-chunk sorted-unique (row, col) keys. Allocation-lean:
+    np.repeat of per-edge bases instead of 33M-element gathers (this
+    host's elementwise bandwidth is the bottleneck, not the sort)."""
+    pe = per_edge[e0:e1]
+    k = np.arange(npc, dtype=np.int64)
+    k -= np.repeat(wc[e0:e1] - p0, pe)            # in-edge position
+    b_eid = np.repeat(b_off[a_cols[e0:e1]], pe)
+    b_eid += k
+    key = np.repeat(a_src[e0:e1].astype(np.uint64) << np.uint64(32), pe)
+    key |= b_cols[b_eid].astype(np.uint64)
+    key.sort()
+    ukey = key[np.concatenate([[True], key[1:] != key[:-1]])]
+    return ((ukey >> np.uint64(32)).astype(np.int64),
+            (ukey & np.uint64(0xffffffff)).astype(np.int64))
+
+
+@partial(jax.jit, static_argnames=("Wc", "nrows"))
+def _chunk_symbolic_dev(wcs, r_sl, bs_sl, b_colsd, npc, *, Wc: int,
+                        nrows: int):
+    """Device per-chunk symbolic: same expansion + (row, col) sort as
+    the numeric chunk, then unique-compaction. The 2-key device sort at
+    2^25 runs ~25x the host rate on this pool's 2-core host. Inputs are
+    HOST-SLICED per chunk (in-chunk product offsets already rebased and
+    clipped to int32 — the int64 global product space never reaches the
+    device). Returns (ucols int32[Wc], row histogram int32[nrows],
+    count)."""
+    from essentials_tpu.ops.scan_kernels import cumsum as pcumsum
+
+    nb = b_colsd.shape[0] - 1
+    imax = jnp.iinfo(jnp.int32).max
+    offs = wcs                                           # int32 [Ecap+1]
+
+    def expand(vals):
+        d = jnp.diff(vals, prepend=jnp.zeros(1, jnp.int32))
+        z = jnp.zeros(Wc + 1, jnp.int32).at[offs[:-1]].add(d)
+        return pcumsum(z[:Wc])
+
+    row = expand(r_sl)
+    s = jnp.arange(Wc, dtype=jnp.int32)
+    valid = s < npc
+    bstart_e = expand(bs_sl)
+    estart_e = expand(offs[:-1])
+    b_eid = jnp.where(valid, bstart_e + (s - estart_e), nb)
+    col = b_colsd[b_eid]
+    rowk = jnp.where(valid, row, imax)
+    colk = jnp.where(valid, col, imax)
+    r3, c3 = jax.lax.sort((rowk, colk), num_keys=2)
+    real = r3 != imax
+    flags = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        (r3[1:] != r3[:-1]) | (c3[1:] != c3[:-1])]) & real
+    rank = pcumsum(flags.astype(jnp.int32)) - 1
+    idx = jnp.where(flags, rank, Wc)
+    ucols = jnp.zeros(Wc, jnp.int32).at[idx].set(c3, mode="drop")
+    # rows travel back as a [nrows] histogram (the tunnel's D2H is
+    # ~34 MB/s: 260 KB instead of 134 MB; the host rebuilds the sorted
+    # row list with np.repeat)
+    uhist = jnp.zeros(nrows + 1, jnp.int32).at[
+        jnp.where(flags, r3, nrows)].add(1, mode="drop")
+    return ucols, uhist[:nrows], jnp.sum(flags.astype(jnp.int32))
+
+
+def _harvest_symbolic(handles, Wc):
+    """Fetch a device symbolic chunk: cols via a QUANTIZED-shape slice
+    (bounded distinct shapes -> bounded slice-program compiles), rows
+    rebuilt from the histogram with np.repeat."""
+    uc_d, hist_d, cnt_d = handles
+    cnt = int(cnt_d)
+    hist = np.asarray(hist_d)
+    b = min(Wc, -(-max(cnt, 1) // (1 << 20)) * (1 << 20))
+    uc = np.asarray(uc_d[:b])[:cnt]
+    ur = np.repeat(np.arange(hist.shape[0], dtype=np.int32), hist)
+    return ur, uc
 
 
 def _make_chunked_plan_impl(a: Csr, b: Csr, chunk_products: int,
@@ -298,102 +378,204 @@ def _make_chunked_plan_impl(a: Csr, b: Csr, chunk_products: int,
     n_products = int(wc[-1])
     if n_products == 0:
         return None
-    throw_if(n_products > np.iinfo(np.int32).max,
-             "spgemm: >2^31 products exceeds int32 addressing; this "
-             "product does not fit one chip's HBM either "
-             f"(needs ~{n_products * 16 / 1e9:.0f} GB of work arrays)")
+    # int64 product accounting: per-chunk npc <= Wc keeps all DEVICE
+    # indices int32; only the global offsets (p0, c_base) are int64.
     Wc = int(chunk_products)
     Ecap = int(min(chunk_edges, a.nnz))
+
+    # device symbolic only pays off for big chunks on the TPU backend
+    use_dev = jax.default_backend() == "tpu" and n_products >= (1 << 23)
+    dev_arrs = None
 
     chunks = []
     rows_l, cols_l = [], []
     spans = []
-    c_base = 0
+    split_junctions = []          # chunk-list indices k where chunk k-1
+    c_base = 0                    # and chunk k share a (split) row
     e0 = 0
+    prev_cut_mid_row = False
     while e0 < a.nnz:
         p0 = int(wc[e0])
-        # largest e1 with products <= Wc and edges <= Ecap
+        # largest e1 with products <= Wc and edges <= Ecap ...
         e_hi = min(a.nnz, e0 + Ecap)
         e1 = int(np.searchsorted(wc, p0 + Wc, side="right")) - 1
         e1 = max(min(e1, e_hi), e0 + 1)      # always progress
+        # ... snapped DOWN to an A-row boundary when possible, so
+        # (row, col) duplicates never span chunks and the global merge
+        # below is (near-)identity instead of a 10^8-scale stable
+        # argsort. Mega rows (> Wc products in one row) still split.
+        r1 = int(np.searchsorted(a_off, e1, side="right")) - 1
+        if a_off[r1] > e0:
+            e1 = int(a_off[r1])
+            cut_mid_row = e1 != int(a_off[int(np.searchsorted(
+                a_off, e1, side="right")) - 1])
+        else:
+            cut_mid_row = e1 != a.nnz and e1 != int(a_off[r1])
         npc = int(wc[e1] - p0)
         throw_if(npc > Wc, "spgemm: single A edge exceeds chunk_products; "
                            "raise chunk_products")
         if npc > 0:
-            # chunk-local keys (host, O(npc)): same (row, col) sort the
-            # device performs -> per-chunk unique layout
-            pe = per_edge[e0:e1]
-            a_eid = np.repeat(np.arange(e0, e1), pe)
-            k_in = np.arange(npc) - (wc[a_eid] - p0)
-            b_eid = b_off[a_cols[a_eid]] + k_in
-            r = a_src[a_eid]
-            c = b_cols[b_eid]
-            # single-key uint64 sort ~2-3x np.lexsort at 2^25
-            key = (r.astype(np.uint64) << np.uint64(32)) | \
-                c.astype(np.uint64)
-            skey = np.sort(key)
-            ukey = skey[np.concatenate(
-                [[True], skey[1:] != skey[:-1]])] if npc else skey
-            rows_l.append((ukey >> np.uint64(32)).astype(np.int64))
-            cols_l.append((ukey & np.uint64(0xffffffff)).astype(np.int64))
-            chunks.append((e0, p0, npc, c_base))
+            if use_dev and npc >= (1 << 20):
+                if dev_arrs is None:
+                    b_start_h = b_off[a_cols].astype(np.int32)
+                    dev_arrs = (jnp.asarray(np.pad(
+                        b_cols.astype(np.int32), (0, 1))),)
+                Ec = Ecap
+                wcs_h = np.minimum(
+                    np.pad(wc[e0:min(e0 + Ec + 1, a.nnz + 1)] - p0,
+                           (0, max(0, e0 + Ec + 1 - (a.nnz + 1))),
+                           mode="edge"),
+                    Wc).astype(np.int32)
+                r_h = np.pad(a_src[e0:e0 + Ec].astype(np.int32),
+                             (0, max(0, e0 + Ec - a.nnz)))
+                bs_h = np.pad(b_start_h[e0:e0 + Ec],
+                              (0, max(0, e0 + Ec - a.nnz)))
+                handles = _chunk_symbolic_dev(
+                    jnp.asarray(wcs_h), jnp.asarray(r_h),
+                    jnp.asarray(bs_h), dev_arrs[0], jnp.int32(npc),
+                    Wc=Wc, nrows=a.n_rows)
+                # pipeline: harvest the PREVIOUS chunk while this one
+                # computes (the ~34 MB/s tunnel fetch hides under it)
+                rows_l.append(None)
+                cols_l.append(handles)
+                if len(chunks) >= 1 and cols_l[-2] is not None \
+                        and rows_l[-2] is None:
+                    rows_l[-2], cols_l[-2] = _harvest_symbolic(
+                        cols_l[-2], Wc)
+            else:
+                ur, uc = _chunk_unique_host(
+                    wc, per_edge, a_src, a_cols, b_off, b_cols, e0, e1,
+                    p0, npc)
+                rows_l.append(ur.astype(np.int32))
+                cols_l.append(uc.astype(np.int32))
+            if prev_cut_mid_row:
+                split_junctions.append(len(chunks))
+            chunks.append((e0, p0, npc, None))
             spans.append(e1 - e0)
-            c_base += ukey.shape[0]
+            prev_cut_mid_row = cut_mid_row
         e0 = e1
+
+    # harvest any still-pending device chunks, then fill in c_base
+    for i in range(len(chunks)):
+        if rows_l[i] is None:
+            rows_l[i], cols_l[i] = _harvest_symbolic(cols_l[i], Wc)
+    c_base = 0
+    for i in range(len(chunks)):
+        e0_, p0_, npc_, _ = chunks[i]
+        chunks[i] = (e0_, p0_, npc_, c_base)
+        c_base += rows_l[i].shape[0]
 
     # shrink the static edge capacity to the largest chunk actually built
     # (the scatter in the device expansion costs per padded element)
     Ecap = max(spans) if spans else 1
 
-    dev_rows = np.concatenate(rows_l)
-    dev_cols = np.concatenate(cols_l)
-    c_dev_total = dev_rows.shape[0]
-    # merge map: a (row,col) pair split across chunk boundaries yields one
-    # entry per chunk, and the per-chunk sorted sublists interleave — a
-    # global stable merge sort of the device layout (host, once per
-    # structure) gives the final order + duplicate runs to fold
-    gkey = (dev_rows.astype(np.uint64) << np.uint64(32)) | \
-        dev_cols.astype(np.uint64)
-    order = np.argsort(gkey, kind="stable")
-    sr, sc = dev_rows[order], dev_cols[order]
-    keep = np.ones(c_dev_total, bool)
-    keep[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
-    merge_offsets = np.nonzero(keep)[0]
-    u_rows = sr[merge_offsets]
-    u_cols = sc[merge_offsets].astype(np.int32)
+    c_dev_total = int(sum(r.shape[0] for r in rows_l))
+    # merge map: with row-aligned cuts the concatenated per-chunk unique
+    # lists are already globally sorted AND duplicate-free EXCEPT around
+    # split-row junctions, where the shared row's column lists
+    # interleave — per-junction LOCAL argsorts + fold runs replace the
+    # former global stable argsort and full keep/gather passes (the bulk
+    # of the 863 s kron_s16 symbolic phase was that O(c_dev) host tail).
+    starts = np.array([c[3] for c in chunks] + [c_dev_total], np.int64)
+    intervals = []
+    for k in split_junctions:
+        rr = int(rows_l[k][0])               # the shared row id
+        lo_k = k
+        while lo_k > 0 and rows_l[lo_k - 1].size \
+                and int(rows_l[lo_k - 1][-1]) == rr:
+            lo_k -= 1
+        s = int(starts[lo_k]) + int(np.searchsorted(rows_l[lo_k], rr,
+                                                    side="left"))
+        t = int(starts[k]) + int(np.searchsorted(rows_l[k], rr,
+                                                 side="right"))
+        intervals.append((s, t))
+    # merge overlapping intervals (a mega row spanning 3+ chunks
+    # produces overlapping junction intervals)
+    merged_iv = []
+    for s, t in sorted(intervals):
+        if merged_iv and s <= merged_iv[-1][1]:
+            merged_iv[-1] = [merged_iv[-1][0], max(merged_iv[-1][1], t)]
+        else:
+            merged_iv.append([s, t])
+
+    # per-chunk row histogram (chunks own disjoint rows up to the span
+    # duplicates corrected below) — avoids a c_dev-sized bincount pass
+    row_counts = np.zeros(a.n_rows, np.int64)
+    for (e0, p0, npc, cb), ur in zip(chunks, rows_l):
+        row_counts += np.bincount(ur, minlength=a.n_rows)
+
+    dev_cols_all = np.concatenate(cols_l) if cols_l \
+        else np.empty(0, np.int64)
+    dev_rows_all = None
+    spans_meta, perms, local_offs, col_pieces = [], [], [], []
+    pos = 0
+    for s, t in merged_iv:
+        if dev_rows_all is None:
+            dev_rows_all = np.concatenate(rows_l)
+        rr_s = dev_rows_all[s:t]
+        cc_s = dev_cols_all[s:t]
+        kk = (rr_s.astype(np.uint64) << np.uint64(32)) | \
+            cc_s.astype(np.uint64)
+        p = np.argsort(kk, kind="stable")
+        ks = kk[p]
+        keep = np.ones(t - s, bool)
+        keep[1:] = ks[1:] != ks[:-1]
+        runs = np.nonzero(keep)[0]
+        spans_meta.append((s, t, runs.shape[0]))
+        perms.append(p)
+        local_offs.append(runs)
+        # folded duplicates all belong to the span's shared rows
+        dup_rows = rr_s[p][~keep]
+        if dup_rows.size:
+            row_counts -= np.bincount(dup_rows, minlength=a.n_rows)
+        col_pieces.append((pos, s))           # identity piece
+        col_pieces.append((cc_s[p][keep],))   # folded span piece
+        pos = t
+    merge_spans = np.asarray(spans_meta, np.int64).reshape(-1, 3)
+    merge_order = (np.concatenate(perms).astype(np.int64) if perms
+                   else np.empty(0, np.int64))
+    merge_offsets = (np.concatenate(local_offs).astype(np.int64)
+                     if local_offs else np.empty(0, np.int64))
+    if col_pieces:
+        col_pieces.append((pos, c_dev_total))
+        parts = []
+        for pc in col_pieces:
+            if len(pc) == 2:                  # identity slice
+                parts.append(dev_cols_all[pc[0]:pc[1]])
+            else:                             # folded span piece
+                parts.append(pc[0])
+        u_cols = np.concatenate(parts).astype(np.int32)
+    else:
+        u_cols = dev_cols_all.astype(np.int32) \
+            if dev_cols_all.dtype != np.int32 else dev_cols_all
     c_row_off = np.zeros(a.n_rows + 1, np.int64)
-    np.cumsum(np.bincount(u_rows, minlength=a.n_rows), out=c_row_off[1:])
+    np.cumsum(row_counts, out=c_row_off[1:])
+    if c_dev_total <= np.iinfo(np.int32).max:
+        c_row_off = c_row_off.astype(np.int32)
     return ChunkedPlan(
         n_products=n_products, Wc=Wc, Ecap=Ecap, chunks=tuple(chunks),
-        c_dev_total=c_dev_total, merge_order=order,
-        merge_offsets=merge_offsets,
-        c_row_offsets=c_row_off.astype(np.int32), c_col_indices=u_cols)
+        c_dev_total=c_dev_total, merge_spans=merge_spans,
+        merge_order=merge_order, merge_offsets=merge_offsets,
+        c_row_offsets=c_row_off, c_col_indices=u_cols)
 
 
-@partial(jax.jit, static_argnames=("Wc", "Ecap"), donate_argnums=(7,))
-def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
-                   scalars, cvals, *, Wc: int, Ecap: int):
-    """One chunk: expansion + b-gather + key sort + segmented
-    sum + compaction + window write into cvals. scalars = (e0, p0, npc,
-    c_base) int32."""
+def _chunk_core(wcs, a_sl, r_sl, bs_sl, b_bits, b_colsd, npc, Wc):
+    """One chunk: expansion + b-gather + key sort + segmented sum +
+    unique-rank compaction. Inputs are HOST-SLICED per chunk (in-chunk
+    product offsets rebased + clipped to int32, so the int64 global
+    product space never reaches the device). Returns csum f32[Wc]."""
     from essentials_tpu.ops.scan_kernels import cumsum as pcumsum
     from essentials_tpu.ops.scan_kernels import segmented_scan
 
-    e0, p0, npc, c_base = (scalars[i] for i in range(4))
     nb = b_bits.shape[0] - 1             # last slot = pad sentinel
     imax = jnp.iinfo(jnp.int32).max
-
-    wcs = jax.lax.dynamic_slice(wc, (e0,), (Ecap + 1,)) - p0
-    offs = jnp.clip(wcs, 0, Wc).astype(jnp.int32)            # [Ecap+1]
+    offs = wcs                                               # [Ecap+1]
 
     def expand(vals):                                        # int32 [Ecap]
         d = jnp.diff(vals, prepend=jnp.zeros(1, jnp.int32))
         z = jnp.zeros(Wc + 1, jnp.int32).at[offs[:-1]].add(d)
         return pcumsum(z[:Wc])
 
-    a_sl = jax.lax.dynamic_slice(a_bits, (e0,), (Ecap,))
-    r_sl = jax.lax.dynamic_slice(a_srcd, (e0,), (Ecap,))
-    bs_sl = jax.lax.dynamic_slice(b_startd, (e0,), (Ecap,))
     a_e = expand(a_sl)
     row = expand(r_sl)
     s = jnp.arange(Wc, dtype=jnp.int32)
@@ -404,7 +586,7 @@ def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
     # 1024-element alignment of BOTH offset and size for 1-D HBM DMA
     # slices, and src/dst offsets here are arbitrary.
     bstart_e = expand(bs_sl)
-    estart_e = expand(wcs[:Ecap].astype(jnp.int32))
+    estart_e = expand(offs[:-1])
     b_eid = jnp.where(valid, bstart_e + (s - estart_e), nb)
     bv_e = b_bits[b_eid]
     col = b_colsd[b_eid]
@@ -428,51 +610,106 @@ def _chunk_numeric(wc, a_bits, a_srcd, b_startd, b_bits, b_colsd,
     # compaction by unique-key rank: one scatter (indices are unique;
     # invalid tail drops via mode="drop") instead of a third sort
     ckey = jnp.where(endf & (s < npc), segid, Wc)
-    csum = jnp.zeros(Wc, jnp.float32).at[ckey].set(sums, mode="drop")
+    return jnp.zeros(Wc, jnp.float32).at[ckey].set(sums, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("Wc",), donate_argnums=(8,))
+def _chunk_numeric(wcs, a_sl, r_sl, bs_sl, b_bits, b_colsd, npc, c_base,
+                   cvals, *, Wc: int):
+    """Resident-buffer mode: window write into the device cvals."""
+    csum = _chunk_core(wcs, a_sl, r_sl, bs_sl, b_bits, b_colsd, npc, Wc)
     return jax.lax.dynamic_update_slice(cvals, csum, (c_base,))
 
 
+@partial(jax.jit, static_argnames=("Wc",))
+def _chunk_numeric_stream(wcs, a_sl, r_sl, bs_sl, b_bits, b_colsd, npc,
+                          *, Wc: int):
+    """Streamed mode (C too big for HBM): return the compact chunk."""
+    return _chunk_core(wcs, a_sl, r_sl, bs_sl, b_bits, b_colsd, npc, Wc)
+
+
+def _apply_merge(plan: ChunkedPlan, out: np.ndarray) -> np.ndarray:
+    """Fold duplicate (row, col) runs. With row-aligned cuts there are
+    none and this is the identity; split-row junction spans get a local
+    stable reorder + reduceat, everything else passes through."""
+    if not plan.merge_spans.size:
+        return out
+    pieces = []
+    pos = 0
+    off = 0
+    moff = 0
+    for s, t, n_runs in plan.merge_spans:
+        s, t, n_runs = int(s), int(t), int(n_runs)
+        pieces.append(out[pos:s])
+        seg = out[s:t][plan.merge_order[off:off + (t - s)]]
+        pieces.append(np.add.reduceat(
+            seg, plan.merge_offsets[moff:moff + n_runs]))
+        off += t - s
+        moff += n_runs
+        pos = t
+    pieces.append(out[pos:])
+    return np.concatenate(pieces)
+
+
 def numeric_chunked(plan: ChunkedPlan, a: Csr, b: Csr,
-                    a_vals=None, b_vals=None) -> np.ndarray:
-    """Run every chunk on device; returns final (merged) C values."""
+                    a_vals=None, b_vals=None,
+                    stream_to_host: bool | None = None) -> np.ndarray:
+    """Run every chunk on device; returns final (merged) C values.
+    stream_to_host (default: auto when the device C buffer would exceed
+    ~2 GB) fetches each chunk's compacted values instead of holding the
+    whole pre-merge C on chip — the capacity mode that lets >int32
+    product counts (e.g. rmat20's 7.0e10) run."""
     av = np.asarray(a.values if a_vals is None else a_vals, np.float32)
     bv = np.asarray(b.values if b_vals is None else b_vals, np.float32)
     a_cols = np.asarray(a.col_indices, np.int64)
     b_off = np.asarray(b.row_offsets, np.int64)
-    pad_e = plan.Ecap + 1
     wc_h = np.zeros(a.nnz + 1, np.int64)
     np.cumsum(np.diff(b_off)[a_cols], out=wc_h[1:])
-    dev = dict(
-        # edge-mode pad: beyond-end edges must keep offset n_products so
-        # their clipped in-chunk position lands at/after npc, never at 0
-        wc=jnp.asarray(np.pad(wc_h, (0, pad_e),
-                              mode="edge").astype(np.int32)),
-        a_bits=jnp.asarray(
-            np.pad(av.view(np.int32), (0, pad_e))),
-        a_srcd=jnp.asarray(np.pad(
-            np.repeat(np.arange(a.n_rows, dtype=np.int32),
-                      np.diff(np.asarray(a.row_offsets))),
-            (0, pad_e))),
-        b_startd=jnp.asarray(np.pad(
-            b_off[a_cols].astype(np.int32), (0, pad_e))),
-        b_bits=jnp.asarray(np.pad(bv.view(np.int32), (0, 1))),
-        b_colsd=jnp.asarray(np.pad(np.asarray(b.col_indices, np.int32),
-                                   (0, 1))))
-    cvals = jnp.zeros(plan.c_dev_total + plan.Wc, jnp.float32)
-    for (e0, p0, npc, c_base) in plan.chunks:
-        sc = jnp.asarray([e0, p0, npc, c_base], jnp.int32)
-        cvals = _chunk_numeric(dev["wc"], dev["a_bits"], dev["a_srcd"],
-                               dev["b_startd"], dev["b_bits"],
-                               dev["b_colsd"], sc, cvals,
-                               Wc=plan.Wc, Ecap=plan.Ecap)
-    out = np.asarray(cvals)[:plan.c_dev_total]
-    if not plan.c_dev_total:
-        return out
-    return np.add.reduceat(out[plan.merge_order], plan.merge_offsets)
+    a_bits_h = av.view(np.int32)
+    a_src_h = np.repeat(np.arange(a.n_rows, dtype=np.int32),
+                        np.diff(np.asarray(a.row_offsets)))
+    b_start_h = b_off[a_cols].astype(np.int32)
+    b_bits = jnp.asarray(np.pad(bv.view(np.int32), (0, 1)))
+    b_colsd = jnp.asarray(np.pad(np.asarray(b.col_indices, np.int32),
+                                 (0, 1)))
+    if stream_to_host is None:
+        stream_to_host = plan.c_dev_total + plan.Wc > (1 << 29)
+    Ec, Wc = plan.Ecap, plan.Wc
+    nnz = a.nnz
+    bases = [c[3] for c in plan.chunks] + [plan.c_dev_total]
+
+    def slices(e0, p0):
+        wcs = np.minimum(
+            np.pad(wc_h[e0:min(e0 + Ec + 1, nnz + 1)] - p0,
+                   (0, max(0, e0 + Ec + 1 - (nnz + 1))), mode="edge"),
+            Wc).astype(np.int32)
+        pad_n = max(0, e0 + Ec - nnz)
+        return (jnp.asarray(wcs),
+                jnp.asarray(np.pad(a_bits_h[e0:e0 + Ec], (0, pad_n))),
+                jnp.asarray(np.pad(a_src_h[e0:e0 + Ec], (0, pad_n))),
+                jnp.asarray(np.pad(b_start_h[e0:e0 + Ec], (0, pad_n))))
+
+    if stream_to_host:
+        out = np.zeros(plan.c_dev_total, np.float32)
+        for i, (e0, p0, npc, c_base) in enumerate(plan.chunks):
+            wcs, a_sl, r_sl, bs_sl = slices(e0, p0)
+            csum = _chunk_numeric_stream(wcs, a_sl, r_sl, bs_sl, b_bits,
+                                         b_colsd, jnp.int32(npc), Wc=Wc)
+            cnt = bases[i + 1] - c_base
+            out[c_base:c_base + cnt] = np.asarray(csum[:cnt])
+    else:
+        cvals = jnp.zeros(plan.c_dev_total + plan.Wc, jnp.float32)
+        for (e0, p0, npc, c_base) in plan.chunks:
+            wcs, a_sl, r_sl, bs_sl = slices(e0, p0)
+            cvals = _chunk_numeric(wcs, a_sl, r_sl, bs_sl, b_bits,
+                                   b_colsd, jnp.int32(npc),
+                                   jnp.int32(c_base), cvals, Wc=Wc)
+        out = np.asarray(cvals)[:plan.c_dev_total].copy()
+    return _apply_merge(plan, out)
 
 
-def run_chunked(a: Csr, b: Csr, *, chunk_products: int = 1 << 25,
-                chunk_edges: int = 1 << 22, warmup: bool = True,
+def run_chunked(a: Csr, b: Csr, *, chunk_products: int = 1 << 26,
+                chunk_edges: int = 1 << 23, warmup: bool = True,
                 plan: ChunkedPlan | None = None) -> SpgemmResult:
     """SpGEMM for product counts beyond the static-plan path's range."""
     if plan is None:

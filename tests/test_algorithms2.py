@@ -279,3 +279,19 @@ def test_spgemm_chunked_vs_cpu():
                                       err_msg=f"wc={wc}")
         np.testing.assert_allclose(res.c.values, ref.values, rtol=1e-4,
                                    atol=1e-5, err_msg=f"wc={wc}")
+
+
+def test_spgemm_chunked_streamed_mode():
+    """stream_to_host=True (the >int32-products capacity mode) must give
+    the same merged C values as the resident-buffer mode."""
+    coo_a = generate.uniform_random(80, 5, seed=22, undirected=False)
+    a = Csr.from_coo(coo_a)
+    plan = spgemm.make_chunked_plan(a, a, chunk_products=1 << 8,
+                                    chunk_edges=1 << 6)
+    ref = spgemm.cpu_reference(a, a)
+    v_res = spgemm.numeric_chunked(plan, a, a, stream_to_host=False)
+    v_str = spgemm.numeric_chunked(plan, a, a, stream_to_host=True)
+    np.testing.assert_array_equal(v_res, v_str)
+    np.testing.assert_array_equal(np.asarray(plan.c_col_indices),
+                                  ref.col_indices)
+    np.testing.assert_allclose(v_str, ref.values, rtol=1e-4, atol=1e-5)
