@@ -66,7 +66,21 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
     core, deg, alive, k, fidx, fvalid = state
     vp = g.n_vertices_padded
     pad = g.pad_vertex
+    imax = jnp.iinfo(jnp.int32).max
+
+    # k-jump folded INTO the wave (round 5): an empty peel used to burn
+    # a whole iteration just bumping k (178 of rmat20's 814 iterations);
+    # now the bump happens up front and the same iteration peels at the
+    # new level.
+    peel0 = alive & (deg < k)
+    min_alive_deg = jnp.min(jnp.where(alive, deg, imax))
+    bumped = jnp.logical_not(jnp.any(peel0))
+    k = jnp.where(bumped, jnp.maximum(k + 1, min_alive_deg + 1), k)
     peel = alive & (deg < k)
+    # the tracking list is only a superset of the next peel WITHIN one k
+    # level — a bump invalidates it (the new level peels arbitrary
+    # vertices, not just last wave's touched neighbors)
+    fvalid = fvalid & ~bumped
     # removed vertices get core number k-1
     core = jnp.where(peel, k - 1, core)
     alive = alive & ~peel
@@ -74,8 +88,8 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
     nofidx = jnp.full(SPRAY_K, pad, jnp.int32)
 
     def dense(_):
-        out = advance(g, lambda e: 1, peel,
-                      combine=Combine.SUM, with_frontier=False)
+        from essentials_tpu.ops import advance_count
+        out = advance_count(g, peel)
         return out.astype(jnp.int32), nofidx, jnp.asarray(False)
 
     def skip(_):
@@ -131,9 +145,6 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
         removed_nbrs, fidx, fvalid = jax.lax.cond(cnt == 0, skip, dense,
                                                   None)
     deg = deg - removed_nbrs
-    # empty sweep: jump k past the levels no vertex can peel at
-    min_alive_deg = jnp.min(jnp.where(alive, deg, jnp.iinfo(jnp.int32).max))
-    k = jnp.where(cnt > 0, k, jnp.maximum(k + 1, min_alive_deg + 1))
     return KcoreState(core, deg, alive, k, fidx, fvalid)
 
 
