@@ -90,15 +90,16 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
     def dense(_):
         from essentials_tpu.ops import advance_count
         out = advance_count(g, peel)
-        return out.astype(jnp.int32), nofidx, jnp.asarray(False)
+        return core, deg - out.astype(jnp.int32), alive, nofidx, \
+            jnp.asarray(False)
 
     def skip(_):
-        return jnp.zeros(vp, jnp.int32), nofidx, jnp.asarray(False)
+        return core, deg, alive, nofidx, jnp.asarray(False)
 
     cnt = jnp.count_nonzero(peel)
     use_spray = spray_enabled(g) if spray_override is None else spray_override
     if use_spray:
-        def spray_tier(budget, kk):
+        def spray_wave(budget, kk):
             """Budget-tiered spray wave: gather/sort costs scale with the
             tier's budget, so the many late-cascade waves that peel a
             handful of vertices run the tiny tier (~5x cheaper fixed
@@ -112,15 +113,62 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
                 offs, d0 = frontier_out_degree(g, idx)
                 _, nb, _, valid = spray_candidates(g, idx, offs, d0,
                                                    budget)
-                removed = jnp.zeros(vp, jnp.int32).at[nb].add(
-                    valid.astype(jnp.int32), mode="drop")
+                deg2 = deg.at[nb].add(-valid.astype(jnp.int32),
+                                      mode="drop")
                 # track the touched neighbors for the next wave's filter
                 _, nidx, ncnt = spray_dedup(nb, valid, kk, pad)
                 if kk < SPRAY_K:
                     nidx = jnp.concatenate(
                         [nidx, jnp.full(SPRAY_K - kk, pad, jnp.int32)])
-                return removed, nidx, ncnt <= kk
+                return core, deg2, alive, nidx, ncnt <= kk
             return go
+
+        def tiny_cascade(_):
+            """Whole TINY cascade in ONE dispatch (round 5): while the
+            next peel set stays tiny, tracked, and within budget, keep
+            peeling inside an inner while_loop whose per-wave ops are
+            all [TINY_K]-scale — the outer iteration's [Vp] passes and
+            switch machinery were ~1 ms x 500+ waves at rmat20."""
+            big = jnp.int32(2 ** 30)
+            idx0 = jax.lax.cond(
+                fvalid,
+                lambda: spray_dedup(fidx[:TINY_K], peel[fidx[:TINY_K]],
+                                    TINY_K, pad)[1],
+                lambda: compact_frontier(peel, TINY_K, pad))
+
+            def cond_fn(c):
+                return c[5]
+
+            def body(c):
+                core_, deg_, alive_, idxl, _, _, tok, it_ = c
+                offs, d0 = frontier_out_degree(g, idxl)
+                _, nb, _, valid = spray_candidates(g, idxl, offs, d0,
+                                                   TINY_BUDGET)
+                deg_ = deg_.at[nb].add(-valid.astype(jnp.int32),
+                                       mode="drop")
+                _, nidx, ncnt = spray_dedup(nb, valid, TINY_K, pad)
+                tok = ncnt <= TINY_K
+                # next peel among the tracked candidates
+                pm = alive_[nidx] & (deg_[nidx] < k) & (nidx != pad)
+                sp = jax.lax.sort(jnp.where(pm, nidx, big))[:TINY_K]
+                pidx = jnp.where(sp < big, sp, pad)
+                offs2, d2 = frontier_out_degree(g, pidx)
+                go = jnp.any(pm) & tok & \
+                    (jnp.sum(d2) <= TINY_BUDGET) & (it_ < 4 * vp)
+                # apply the next peel only when continuing (otherwise the
+                # outer step re-derives it, possibly on another tier)
+                sc = jnp.where(pm & go, nidx, vp)
+                core_ = core_.at[sc].set(k - 1, mode="drop")
+                alive_ = alive_.at[sc].set(False, mode="drop")
+                return core_, deg_, alive_, pidx, nidx, go, tok, it_ + 1
+
+            core2, deg2, alive2, _, nidx, _, tok, _ = jax.lax.while_loop(
+                cond_fn, body,
+                (core, deg, alive, idx0, idx0, jnp.asarray(True),
+                 jnp.asarray(True), jnp.int32(0)))
+            nidx = jnp.concatenate(
+                [nidx, jnp.full(SPRAY_K - TINY_K, pad, jnp.int32)])
+            return core2, deg2, alive2, nidx, tok
 
         # spray gate: the peeled vertices' ORIGINAL out-edges must fit the
         # budget (peeled degree < k only counts surviving neighbors).
@@ -137,14 +185,13 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
                                      jnp.where((cnt <= SPRAY_K)
                                                & (sumdeg <= SPRAY_BUDGET),
                                                2, 3)))
-        removed_nbrs, fidx, fvalid = jax.lax.switch(
+        core, deg, alive, fidx, fvalid = jax.lax.switch(
             branch.astype(jnp.int32),
-            [skip, spray_tier(TINY_BUDGET, TINY_K),
-             spray_tier(SPRAY_BUDGET, SPRAY_K), dense], None)
+            [skip, tiny_cascade,
+             spray_wave(SPRAY_BUDGET, SPRAY_K), dense], None)
     else:
-        removed_nbrs, fidx, fvalid = jax.lax.cond(cnt == 0, skip, dense,
-                                                  None)
-    deg = deg - removed_nbrs
+        core, deg, alive, fidx, fvalid = jax.lax.cond(cnt == 0, skip,
+                                                      dense, None)
     return KcoreState(core, deg, alive, k, fidx, fvalid)
 
 
