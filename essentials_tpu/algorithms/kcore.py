@@ -40,6 +40,23 @@ class KcoreResult(NamedTuple):
     elapsed_ms: float
 
 
+# trace-time engine toggles. Measured at rmat20 (benchmarks/_kcore_ab.py,
+# replay protocol, same-session chip):
+#   fold=1 cascade=1 chain=1: 2118.7 ms / 576 waves
+#   fold=1 cascade=0 chain=1: 2078.2 ms / 636 waves
+#   fold=1 cascade=1 chain=0: 2267.6 ms
+#   fold=1 cascade=0 chain=0: 2237.6 ms
+#   fold=0 cascade=0 chain=1: 1839.1 ms / 814 waves  <- DEFAULT (r4: 2015)
+# The k-jump fold and the tiny-cascade inner loop are measured NET
+# NEGATIVE: the fold's extra per-wave [Vp] passes (~0.37 ms x 636) cost
+# more than the 178 skipped bump-only waves saved (~0.5 ms each), and
+# the cascade's bigger switch body taxes every wave. Only the fused
+# advance_count dense branch survives as default.
+_KJUMP_FOLD = False        # bump k inside the wave (vs a cheap skip wave)
+_TINY_CASCADE = False      # inner while_loop over tiny cascades
+_DENSE_CHAIN = True        # dense waves on the fused advance_count chain
+
+
 def init(g: Graph) -> KcoreState:
     deg = jnp.where(g.vertex_mask(), g.out_degrees(), 0).astype(jnp.int32)
     core = jnp.zeros(g.n_vertices_padded, jnp.int32)
@@ -68,19 +85,22 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
     pad = g.pad_vertex
     imax = jnp.iinfo(jnp.int32).max
 
-    # k-jump folded INTO the wave (round 5): an empty peel used to burn
-    # a whole iteration just bumping k (178 of rmat20's 814 iterations);
-    # now the bump happens up front and the same iteration peels at the
-    # new level.
-    peel0 = alive & (deg < k)
-    min_alive_deg = jnp.min(jnp.where(alive, deg, imax))
-    bumped = jnp.logical_not(jnp.any(peel0))
-    k = jnp.where(bumped, jnp.maximum(k + 1, min_alive_deg + 1), k)
-    peel = alive & (deg < k)
-    # the tracking list is only a superset of the next peel WITHIN one k
-    # level — a bump invalidates it (the new level peels arbitrary
-    # vertices, not just last wave's touched neighbors)
-    fvalid = fvalid & ~bumped
+    if _KJUMP_FOLD:
+        # k-jump folded INTO the wave: an empty peel used to burn a whole
+        # iteration just bumping k (178 of rmat20's 814 iterations); the
+        # bump happens up front and the same iteration peels at the new
+        # level. MEASURED NET NEGATIVE at rmat20 (see toggle notes).
+        peel0 = alive & (deg < k)
+        min_alive_deg = jnp.min(jnp.where(alive, deg, imax))
+        bumped = jnp.logical_not(jnp.any(peel0))
+        k = jnp.where(bumped, jnp.maximum(k + 1, min_alive_deg + 1), k)
+        peel = alive & (deg < k)
+        # the tracking list is only a superset of the next peel WITHIN
+        # one k level — a bump invalidates it (the new level peels
+        # arbitrary vertices, not just last wave's touched neighbors)
+        fvalid = fvalid & ~bumped
+    else:
+        peel = alive & (deg < k)
     # removed vertices get core number k-1
     core = jnp.where(peel, k - 1, core)
     alive = alive & ~peel
@@ -88,8 +108,12 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
     nofidx = jnp.full(SPRAY_K, pad, jnp.int32)
 
     def dense(_):
-        from essentials_tpu.ops import advance_count
-        out = advance_count(g, peel)
+        if _DENSE_CHAIN:
+            from essentials_tpu.ops import advance_count
+            out = advance_count(g, peel)
+        else:
+            out = advance(g, lambda e: 1, peel, combine=Combine.SUM,
+                          with_frontier=False)
         return core, deg - out.astype(jnp.int32), alive, nofidx, \
             jnp.asarray(False)
 
@@ -187,11 +211,17 @@ def step(g: Graph, state: KcoreState, it, spray_override=None) -> KcoreState:
                                                2, 3)))
         core, deg, alive, fidx, fvalid = jax.lax.switch(
             branch.astype(jnp.int32),
-            [skip, tiny_cascade,
+            [skip,
+             tiny_cascade if _TINY_CASCADE
+             else spray_wave(TINY_BUDGET, TINY_K),
              spray_wave(SPRAY_BUDGET, SPRAY_K), dense], None)
     else:
         core, deg, alive, fidx, fvalid = jax.lax.cond(cnt == 0, skip,
                                                       dense, None)
+    if not _KJUMP_FOLD:
+        # empty sweep: jump k past the levels no vertex can peel at
+        min_alive_deg = jnp.min(jnp.where(alive, deg, imax))
+        k = jnp.where(cnt > 0, k, jnp.maximum(k + 1, min_alive_deg + 1))
     return KcoreState(core, deg, alive, k, fidx, fvalid)
 
 
