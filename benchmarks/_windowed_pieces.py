@@ -30,7 +30,7 @@ def main():
     print(f"{ds}: G={plan.G} n_cseg={plan.n_cseg} n_rseg={plan.n_rseg}",
           flush=True)
 
-    def pipeline(x, stage):
+    def pipeline(plan, x, stage):
         x = x.astype(jnp.float32)
         xc = apply_plan(x, plan.xc_route)
         dxc2 = W.compact_bits(plan, xc)
@@ -52,10 +52,12 @@ def main():
                                       (g.n_vertices_padded,), jnp.float32),
                    0.0)
 
-    @partial(jax.jit, static_argnums=(2, 3))
-    def replay(g, x, n, stage):
+    # plan rides as a jit ARGUMENT (closing over it bakes the stage
+    # arrays as constants -> HTTP 413 on remote-compile upload)
+    @partial(jax.jit, static_argnums=(3, 4))
+    def replay(g, plan, x, n, stage):
         def body(i, x):
-            y = pipeline(x, stage)
+            y = pipeline(plan, x, stage)
             if y.shape[0] < x.shape[0]:
                 y = jnp.pad(y, (0, x.shape[0] - y.shape[0]))
             return x * 0.5 + y[:x.shape[0]] * 1e-9
@@ -63,7 +65,7 @@ def main():
 
     def fetch(n, stage):
         t = time.perf_counter()
-        float(replay(g, x0, n, stage))
+        float(replay(g, plan, x0, n, stage))
         return time.perf_counter() - t
 
     names = ["x-prep", "+3kernels", "+DUSmerge", "+y-route"]
